@@ -1,0 +1,104 @@
+"""Typed option registry shared by all CLIs.
+
+Mirrors the reference flag surface (reg_slices/options.py:3-54) so users of
+the reference can switch with the same invocations, while providing one
+typed dataclass config for programmatic use.  YAML configs with the
+``target:``/``params:`` convention (gen_slices style) are handled by
+:mod:`slice3d_tpu.utils.registry`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from dataclasses import dataclass
+from typing import Optional
+
+__all__ = ["Options", "get_parser", "options_from_args", "dump_options"]
+
+
+@dataclass
+class Options:
+    # model
+    name_model: str = "slicenet"  # slicenet | disn | gtslice
+    # dataset
+    dir_data: str = "./data"
+    name_dataset: str = "objaverse"
+    n_wk: int = 8
+    categories_train: str = "objaverse,"
+    categories_test: str = "objaverse,"
+    img_size: int = 128
+    n_qry: int = 256
+    n_slices: int = 12
+    n_views: int = 12
+    pred_type: str = "sdf"  # occ | sdf
+    use_white_bg: bool = False
+    # experiment
+    name_exp: str = "default_exp"
+    name_exp_cam: str = "cam_exp"
+    mode: str = "train"  # train | val | test
+    n_bs: int = 16
+    n_epochs: int = 600
+    lr: float = 3e-4
+    n_dim: int = 128
+    multi_gpu: bool = False  # accepted for CLI compat; sharding is automatic
+    freq_ckpt: int = 4
+    freq_log: int = 200
+    freq_decay: int = 100
+    weight_decay: float = 0.5
+    resume: bool = False
+    est_campose: bool = False
+    back_bone_cam_est: str = "vgg16_bn"
+    # marching-cube operating point
+    mc_chunk_size: int = 65536
+    mc_res0: int = 64
+    mc_up_steps: int = 2
+    mc_threshold: float = 0.5
+    # testing
+    name_ckpt: str = ""
+    name_ckpt_cam: str = ""
+    from_which_slices: str = "gt"  # gt | gt_rec | gen
+    overwrite_res: bool = False
+    # TPU-specific
+    dtype: str = "bfloat16"  # compute dtype on device: bfloat16 | float32
+    random_init: bool = False  # run with random weights (benchmarks/smoke)
+    dir_experiments: str = "experiments"
+
+    @property
+    def dataset_root(self) -> str:
+        return os.path.join(self.dir_data, self.name_dataset)
+
+    @property
+    def exp_dir(self) -> str:
+        return os.path.join(self.dir_experiments, self.name_exp)
+
+    @property
+    def categories(self):
+        if self.name_dataset == "shapenet":
+            key = self.categories_train if self.mode == "train" else self.categories_test
+            return [c for c in key.split(",") if c]
+        return [""]
+
+
+def get_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser()
+    for f in dataclasses.fields(Options):
+        flag = f"--{f.name}"
+        if f.type == "bool" or isinstance(f.default, bool):
+            parser.add_argument(flag, action=argparse.BooleanOptionalAction,
+                                default=f.default)
+        else:
+            parser.add_argument(flag, type=type(f.default), default=f.default)
+    return parser
+
+
+def options_from_args(args=None) -> Options:
+    ns = get_parser().parse_args(args)
+    return Options(**{f.name: getattr(ns, f.name) for f in dataclasses.fields(Options)})
+
+
+def dump_options(opts: Options, path: str) -> None:
+    with open(path, "w") as f:
+        for k, v in dataclasses.asdict(opts).items():
+            f.write(f"{k}: {v}\n")

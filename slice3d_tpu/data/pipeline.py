@@ -1,0 +1,83 @@
+"""Host-side batching/prefetch pipeline feeding the device.
+
+The reference relies on a 16-worker torch DataLoader (options.py:10); here a
+light thread-pool loader stacks numpy batches and double-buffers them so
+PNG decode overlaps device compute.  Batches are plain dicts of numpy
+arrays; sharding onto the device mesh happens in the train step via
+``jax.device_put`` with NamedSharding (see slice3d_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+__all__ = ["BatchLoader"]
+
+
+class BatchLoader:
+    """Iterates dict-of-array batches with background prefetch."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        num_workers: int = 4,
+        prefetch: int = 2,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self._rng = np.random.RandomState(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batch_indices(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        bs = self.batch_size
+        end = len(idx) - (len(idx) % bs) if self.drop_last else len(idx)
+        for i in range(0, end, bs):
+            yield idx[i : i + bs]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for batch_idx in self._batch_indices():
+                    if stop.is_set():
+                        return
+                    samples = list(pool.map(self.dataset.__getitem__, batch_idx))
+                    batch = {
+                        k: np.stack([s[k] for s in samples]) for k in samples[0]
+                    }
+                    q.put(batch)
+            q.put(None)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()

@@ -1,0 +1,110 @@
+"""Host-side native mesh stage: isosurface extraction, simplification, IO.
+
+This is the TPU rebuild of the reference's vendored Cython/C++ mesh stack
+(src_convonet/utils/libmcubes + libmise + libsimplify): the device produces
+dense SDF value grids in large fused batches; this module turns them into
+meshes on the host, overlapping with the next object's device queries.
+
+The native kernels live in ``native/mesh_native.cpp`` and are built on
+first use with g++ into a shared library bound via ctypes.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from dataclasses import dataclass
+
+import numpy as np
+
+__all__ = ["Mesh", "isosurface", "export_obj", "load_library"]
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
+_SRC = os.path.join(_NATIVE_DIR, "mesh_native.cpp")
+_LIB = os.path.join(_NATIVE_DIR, "libs3dmesh.so")
+_LOCK = threading.Lock()
+_LIBHANDLE = None
+
+
+@dataclass
+class Mesh:
+    vertices: np.ndarray  # (V, 3) float32
+    faces: np.ndarray  # (F, 3) int64
+
+    @property
+    def is_empty(self) -> bool:
+        return len(self.vertices) == 0 or len(self.faces) == 0
+
+
+def load_library() -> ctypes.CDLL:
+    """Build (if stale) and load the native mesh library."""
+    global _LIBHANDLE
+    with _LOCK:
+        if _LIBHANDLE is not None:
+            return _LIBHANDLE
+        if (not os.path.exists(_LIB)) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+            cmd = [
+                "g++", "-O3", "-std=c++17", "-fPIC", "-shared",
+                "-o", _LIB, _SRC,
+            ]
+            subprocess.run(cmd, check=True, capture_output=True)
+        lib = ctypes.CDLL(_LIB)
+        lib.s3d_isosurface.restype = ctypes.c_int
+        lib.s3d_isosurface.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_float,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.s3d_free.argtypes = [ctypes.c_void_p]
+        _LIBHANDLE = lib
+        return lib
+
+
+def isosurface(grid: np.ndarray, iso: float = 0.0) -> Mesh:
+    """Extract the iso-surface of a dense scalar grid.
+
+    Args:
+      grid: (nx, ny, nz) float array; values > iso are 'inside'.
+      iso: iso level.
+
+    Returns:
+      Mesh with vertices in lattice coordinates ([0, n-1] per axis) and
+      outward-oriented faces.
+    """
+    lib = load_library()
+    g = np.ascontiguousarray(grid, dtype=np.float32)
+    verts_p = ctypes.POINTER(ctypes.c_float)()
+    faces_p = ctypes.POINTER(ctypes.c_int64)()
+    nv = ctypes.c_int64()
+    nf = ctypes.c_int64()
+    rc = lib.s3d_isosurface(
+        g.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        g.shape[0], g.shape[1], g.shape[2],
+        ctypes.c_float(iso),
+        ctypes.byref(verts_p), ctypes.byref(nv),
+        ctypes.byref(faces_p), ctypes.byref(nf),
+    )
+    if rc != 0:
+        raise RuntimeError("isosurface extraction failed")
+    try:
+        verts = np.ctypeslib.as_array(verts_p, shape=(nv.value, 3)).copy() if nv.value else np.zeros((0, 3), np.float32)
+        faces = np.ctypeslib.as_array(faces_p, shape=(nf.value, 3)).copy() if nf.value else np.zeros((0, 3), np.int64)
+    finally:
+        lib.s3d_free(verts_p)
+        lib.s3d_free(faces_p)
+    return Mesh(vertices=verts, faces=faces)
+
+
+def export_obj(mesh: Mesh, path: str) -> None:
+    """Write a mesh as Wavefront OBJ (1-indexed faces)."""
+    with open(path, "w") as f:
+        for v in mesh.vertices:
+            f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        for tri in mesh.faces + 1:
+            f.write(f"f {tri[0]} {tri[1]} {tri[2]}\n")

@@ -1,0 +1,191 @@
+"""Value-grid construction + mesh extraction (Generator3D equivalent).
+
+The reference (reg_slices/reconstruct.py:121-243) interleaves a host-side
+Cython MISE octree with 3000-point GPU chunks — a host<->device ping-pong
+per refinement round.  The TPU rebuild replaces it with *dense masked
+refinement*:
+
+  1. evaluate the full coarse lattice ((res0+1)^3) in large fused device
+     batches;
+  2. per refinement level, trilinearly upsample the known grid, find cells
+     whose corners straddle the iso threshold (optionally dilated), and
+     evaluate only the fine lattice points touching those cells — again in
+     large fixed-size chunks so the device program is compiled once;
+  3. run the native isosurfacer on the final (res+1)^3 grid.
+
+Semantics match MISE's ``resolution0 / upsampling_steps / threshold``
+operating point: the final grid has resolution ``res0 * 2**up_steps`` and
+identical world mapping ``world = box_size * (idx / res - 0.5)``.
+
+The evaluator receives flat float32 (M, 3) arrays and returns (M,) values
+("logits": the pipeline feeds -sdf, reference reconstruct.py:97).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from . import Mesh, isosurface
+
+__all__ = ["GridRefiner", "extract_mesh_from_grid", "MeshGenerator"]
+
+Evaluator = Callable[[np.ndarray], np.ndarray]
+
+
+def _upsample2x(grid: np.ndarray) -> np.ndarray:
+    """Trilinear 2x upsample of an (n+1,)*3 lattice grid to (2n+1,)*3."""
+    n = grid.shape[0] - 1
+    out = np.empty((2 * n + 1,) * 3, dtype=grid.dtype)
+    out[::2, ::2, ::2] = grid
+    out[1::2, ::2, ::2] = 0.5 * (grid[:-1, :, :] + grid[1:, :, :])
+    even_yz = out[:, ::2, ::2]  # all x now filled at even y, even z
+    out[:, 1::2, ::2] = 0.5 * (even_yz[:, :-1, :] + even_yz[:, 1:, :])
+    even_z = out[:, :, ::2]  # all x, y filled at even z
+    out[:, :, 1::2] = 0.5 * (even_z[:, :, :-1] + even_z[:, :, 1:])
+    return out
+
+
+def _active_cells(grid: np.ndarray, threshold: float, dilate: int = 1) -> np.ndarray:
+    """Cells (n,n,n bool) whose 8 corners straddle the threshold."""
+    c = grid
+    mins = np.minimum.reduce([
+        c[:-1, :-1, :-1], c[1:, :-1, :-1], c[:-1, 1:, :-1], c[1:, 1:, :-1],
+        c[:-1, :-1, 1:], c[1:, :-1, 1:], c[:-1, 1:, 1:], c[1:, 1:, 1:],
+    ])
+    maxs = np.maximum.reduce([
+        c[:-1, :-1, :-1], c[1:, :-1, :-1], c[:-1, 1:, :-1], c[1:, 1:, :-1],
+        c[:-1, :-1, 1:], c[1:, :-1, 1:], c[:-1, 1:, 1:], c[1:, 1:, 1:],
+    ])
+    act = (mins <= threshold) & (maxs >= threshold)
+    for _ in range(dilate):
+        grown = act.copy()
+        grown[:-1] |= act[1:]
+        grown[1:] |= act[:-1]
+        grown[:, :-1] |= act[:, 1:]
+        grown[:, 1:] |= act[:, :-1]
+        grown[:, :, :-1] |= act[:, :, 1:]
+        grown[:, :, 1:] |= act[:, :, :-1]
+        act = grown
+    return act
+
+
+def _touched_lattice_mask(active: np.ndarray) -> np.ndarray:
+    """Fine-lattice points belonging to any active (now 2x-subdivided) cell."""
+    n = active.shape[0]
+    fine_cells = np.repeat(np.repeat(np.repeat(active, 2, 0), 2, 1), 2, 2)
+    mask = np.zeros((2 * n + 1,) * 3, dtype=bool)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                mask[dx:2 * n + dx, dy:2 * n + dy, dz:2 * n + dz] |= fine_cells
+    return mask
+
+
+@dataclass
+class GridRefiner:
+    """Builds the dense value grid via coarse-to-fine masked evaluation."""
+
+    resolution0: int = 64
+    upsampling_steps: int = 2
+    threshold: float = 0.0  # in value ("logit") space
+    box_size: float = 1.0
+    chunk_size: int = 65536
+    dilate: int = 1
+
+    def lattice_points(self, res: int, mask: Optional[np.ndarray] = None) -> np.ndarray:
+        if mask is None:
+            idx = np.stack(
+                np.meshgrid(*([np.arange(res + 1)] * 3), indexing="ij"), axis=-1
+            ).reshape(-1, 3)
+        else:
+            idx = np.argwhere(mask)
+        return (idx.astype(np.float32) / res - 0.5) * self.box_size
+
+    def _eval_chunked(self, evaluator: Evaluator, pts: np.ndarray) -> np.ndarray:
+        m = len(pts)
+        if m == 0:
+            return np.zeros((0,), np.float32)
+        c = self.chunk_size
+        n_chunks = math.ceil(m / c)
+        padded = np.zeros((n_chunks * c, 3), np.float32)
+        padded[:m] = pts
+        outs = [np.asarray(evaluator(padded[i * c:(i + 1) * c])) for i in range(n_chunks)]
+        return np.concatenate(outs)[:m].astype(np.float32)
+
+    def build(self, evaluator: Evaluator, stats: Optional[Dict] = None) -> np.ndarray:
+        n0 = self.resolution0
+        pts = self.lattice_points(n0)
+        vals = self._eval_chunked(evaluator, pts)
+        grid = vals.reshape(n0 + 1, n0 + 1, n0 + 1)
+        n_eval = len(pts)
+
+        res = n0
+        for _ in range(self.upsampling_steps):
+            active = _active_cells(grid, self.threshold, self.dilate)
+            mask = _touched_lattice_mask(active)
+            grid = _upsample2x(grid)
+            res *= 2
+            pts = self.lattice_points(res, mask)
+            vals = self._eval_chunked(evaluator, pts)
+            grid[mask] = vals
+            n_eval += len(pts)
+
+        if stats is not None:
+            stats["n_points_evaluated"] = n_eval
+            stats["final_resolution"] = res
+        return grid
+
+
+def extract_mesh_from_grid(
+    grid: np.ndarray, threshold: float = 0.0, box_size: float = 1.0
+) -> Mesh:
+    """Pad, isosurface, and map vertices to world coordinates.
+
+    Matches the reference normalization (reconstruct.py:189-208): the
+    (res+1)^3 lattice spans ``box_size * [-0.5, 0.5]``.
+    """
+    res = grid.shape[0] - 1
+    padded = np.pad(grid, 1, mode="constant", constant_values=-1e6)
+    mesh = isosurface(padded, threshold)
+    if mesh.is_empty:
+        return mesh
+    verts = (mesh.vertices - 1.0) / res  # undo pad, normalize to [0, 1]
+    mesh.vertices = (box_size * (verts - 0.5)).astype(np.float32)
+    return mesh
+
+
+@dataclass
+class MeshGenerator:
+    """End-to-end value-grid -> mesh driver with per-stage timing stats."""
+
+    resolution0: int = 64
+    upsampling_steps: int = 2
+    threshold: float = 0.5  # probability-space threshold (reference flag)
+    box_size: float = 1.0
+    chunk_size: int = 65536
+    dilate: int = 1
+
+    def generate(self, evaluator: Evaluator):
+        import time
+
+        stats: Dict = {}
+        logit_thr = float(np.log(self.threshold) - np.log(1.0 - self.threshold))
+        refiner = GridRefiner(
+            resolution0=self.resolution0,
+            upsampling_steps=self.upsampling_steps,
+            threshold=logit_thr,
+            box_size=self.box_size,
+            chunk_size=self.chunk_size,
+            dilate=self.dilate,
+        )
+        t0 = time.perf_counter()
+        grid = refiner.build(evaluator, stats)
+        stats["time_eval_points"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        mesh = extract_mesh_from_grid(grid, logit_thr, self.box_size)
+        stats["time_marching"] = time.perf_counter() - t0
+        return mesh, stats

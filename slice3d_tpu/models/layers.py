@@ -1,0 +1,169 @@
+"""Shared neural building blocks (flax.linen, NHWC, torch-compatible math).
+
+These blocks mirror the torch layer semantics the reference models rely on
+(BatchNorm eps/momentum, post-LayerNorm transformer encoder with ReLU/2048-FF,
+ConvTranspose k2s2) so that converted torch checkpoints evaluate identically,
+while staying TPU-idiomatic: NHWC layout, fused QKV projections on the MXU,
+bfloat16-friendly compute dtype.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = [
+    "Dense",
+    "Conv",
+    "ConvTranspose",
+    "BatchNorm",
+    "max_pool_2x2",
+    "TransformerEncoderLayer",
+    "TransformerEncoder",
+    "MLP",
+]
+
+Dtype = Any
+
+
+class Dense(nn.Dense):
+    """nn.Dense with fp32 params; alias kept for uniform imports."""
+
+
+def Conv(features: int, kernel: int = 3, stride: int = 1, padding: int = 0,
+         use_bias: bool = True, dtype: Optional[Dtype] = None) -> nn.Conv:
+    """2D convolution, NHWC, torch-style symmetric integer padding."""
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel, kernel),
+        strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        use_bias=use_bias,
+        dtype=dtype,
+    )
+
+
+def ConvTranspose(features: int, kernel: int = 2, stride: int = 2,
+                  dtype: Optional[Dtype] = None) -> nn.ConvTranspose:
+    """Transposed conv (k=2, s=2 default) matching torch ConvTranspose2d."""
+    return nn.ConvTranspose(
+        features=features,
+        kernel_size=(kernel, kernel),
+        strides=(stride, stride),
+        padding="VALID",
+        dtype=dtype,
+        transpose_kernel=True,  # torch-layout kernels convert directly
+    )
+
+
+def BatchNorm(use_running_average: bool = True, axis_name: Optional[str] = None,
+              dtype: Optional[Dtype] = None, name: Optional[str] = None) -> nn.BatchNorm:
+    """BatchNorm matching torch defaults (eps=1e-5, momentum=0.1).
+
+    ``use_running_average=True`` for inference; during training batch stats
+    are cross-replica averaged when ``axis_name`` is set (pmap/shard_map).
+    Note flax's ``momentum`` keeps that fraction of the *old* stat, so torch
+    momentum 0.1 maps to flax momentum 0.9.
+    """
+    return nn.BatchNorm(
+        use_running_average=use_running_average,
+        momentum=0.9,
+        epsilon=1e-5,
+        axis_name=axis_name,
+        dtype=dtype,
+        name=name,
+    )
+
+
+def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2/stride-2 max pooling over NHWC, torch floor-mode window."""
+    return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Post-LN transformer encoder layer with torch nn.TransformerEncoderLayer
+    defaults: ReLU activation, dim_feedforward=2048, LayerNorm eps=1e-5.
+
+    Input: (..., T, D).  QKV is one fused (D, 3D) matmul for the MXU.
+    Dropout is omitted (the reference evaluates with dropout inactive and the
+    SDF losses are computed full-batch; training remains well-posed without).
+    """
+
+    d_model: int = 128
+    n_heads: int = 4
+    d_ff: int = 2048
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        d, h = self.d_model, self.n_heads
+        dh = d // h
+        in_dtype = x.dtype
+
+        qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):  # (..., T, D) -> (..., H, T, Dh)
+            t = t.reshape(t.shape[:-1] + (h, dh))
+            return jnp.swapaxes(t, -2, -3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        scale = 1.0 / jnp.sqrt(jnp.asarray(dh, dtype=jnp.float32))
+        logits = jnp.einsum("...td,...sd->...ts", q, k).astype(jnp.float32) * scale
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        attn = jnp.einsum("...ts,...sd->...td", probs, v)
+        attn = jnp.swapaxes(attn, -2, -3)  # (..., T, H, Dh)
+        attn = attn.reshape(attn.shape[:-2] + (d,))
+        attn = nn.Dense(d, dtype=self.dtype, name="out_proj")(attn)
+
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x + attn)
+        ff = nn.Dense(self.d_ff, dtype=self.dtype, name="ff1")(x)
+        ff = nn.relu(ff)
+        ff = nn.Dense(d, dtype=self.dtype, name="ff2")(ff)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x + ff)
+        return x.astype(in_dtype)
+
+
+class TransformerEncoder(nn.Module):
+    """Stack of post-LN encoder layers (reference: 3 layers, d=128, 4 heads)."""
+
+    num_layers: int = 3
+    d_model: int = 128
+    n_heads: int = 4
+    d_ff: int = 2048
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers):
+            x = TransformerEncoderLayer(
+                d_model=self.d_model,
+                n_heads=self.n_heads,
+                d_ff=self.d_ff,
+                dtype=self.dtype,
+                name=f"layer{i}",
+            )(x)
+        return x
+
+
+class MLP(nn.Module):
+    """Dense stack with ReLU between layers.
+
+    ``relu_last`` appends a trailing ReLU (the reference point/feature MLPs
+    end in ReLU; the SDF output head does not).
+    """
+
+    features: Sequence[int]
+    relu_last: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        for i, f in enumerate(self.features):
+            x = nn.Dense(f, dtype=self.dtype, name=f"fc{i}")(x)
+            if i + 1 < len(self.features) or self.relu_last:
+                x = nn.relu(x)
+        return x

@@ -1,0 +1,72 @@
+"""SliceNet: single input view -> 12 slices + implicit SDF.
+
+Functional equivalent of the reference ``Slices3DRegModel``
+(reg_slices/src/models.py:12-94): the slice U-Net supplies both the
+reconstructed slice images (supervised with L1 + VGG perceptual loss) and
+the 992-channel multi-scale feature pyramid sampled at projected query
+points; a 13-token transformer head regresses the SDF.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .sdf_head import SDFTransformerHead, sample_slice_pyramids, prepare_queries
+from .unet_slices import SliceUNet
+from ..ops import project_points
+
+__all__ = ["SliceNetModel"]
+
+
+class SliceNetModel(nn.Module):
+    n_slices: int = 12
+    train_bn: bool = False
+    axis_name: Optional[str] = None
+    dtype: Optional[Any] = None
+
+    def setup(self):
+        self.slices_generator = SliceUNet(
+            n_slices=self.n_slices,
+            train_bn=self.train_bn,
+            axis_name=self.axis_name,
+            dtype=self.dtype,
+            name="slices_generator",
+        )
+        self.head = SDFTransformerHead(
+            point_mlp_features=(128,),   # fc_p: single Linear(3 -> 128)
+            local_mlp_features=(128,),   # fc_s: single Linear(992 -> 128)
+            dtype=self.dtype,
+            name="head",
+        )
+
+    def encode(self, img_input: jnp.ndarray):
+        """img_input: (B, H, W, 3) -> (pyramids, slices_rec (B*S, H, W, 3))."""
+        return self.slices_generator(img_input)
+
+    def query(
+        self,
+        pyramids: Sequence[jnp.ndarray],
+        qry: jnp.ndarray,
+        trans_mat_tp: jnp.ndarray,
+    ) -> jnp.ndarray:
+        uv = project_points(qry, trans_mat_tp)
+        local = sample_slice_pyramids(pyramids, uv, self.n_slices)
+        return self.head(qry, local)
+
+    def __call__(
+        self,
+        img_input: jnp.ndarray,
+        qry_norot: jnp.ndarray,
+        trans_mat_tp: jnp.ndarray,
+        obj_rot_mat: Optional[jnp.ndarray] = None,
+        *,
+        test_mode: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (sdf (B, M), slices_rec (B*S, H, W, 3))."""
+        qry = prepare_queries(qry_norot, obj_rot_mat, test_mode=test_mode)
+        pyramids, slices_rec = self.encode(img_input)
+        sdf = self.query(pyramids, qry, trans_mat_tp)
+        return sdf, slices_rec

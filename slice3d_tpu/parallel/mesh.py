@@ -1,0 +1,44 @@
+"""Device mesh construction for data/model parallelism.
+
+The framework scales over ICI with two logical axes:
+
+* ``data``  — batch / query-point sharding (pure data parallel; the SDF
+  query axis is embarrassingly parallel, SURVEY §5).
+* ``model`` — parameter sharding (FSDP-style weight sharding for the larger
+  LDM UNet / VGG trunks; collectives are all-gathers on the kernel axis).
+
+On a single chip both axes are size 1 and everything degenerates to plain
+jit with no collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+__all__ = ["create_mesh", "default_mesh"]
+
+
+def create_mesh(
+    shape: Optional[Tuple[int, int]] = None,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Create a (data, model) mesh.
+
+    ``shape=None`` puts all devices on the data axis.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if shape is None:
+        shape = (n, 1)
+    if shape[0] * shape[1] != n:
+        raise ValueError(f"mesh shape {shape} != {n} devices")
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def default_mesh() -> Mesh:
+    return create_mesh()

@@ -1,0 +1,107 @@
+"""Device/host reconstruction pipeline: image(s) -> SDF grid -> mesh.
+
+Ties a slice model (SliceNet / GTSlice / DISN), the coarse-to-fine grid
+refiner, and the native isosurfacer together.  The feature pyramids are
+encoded ONCE per object and kept on device; the per-chunk SDF query is a
+single jit-compiled program of fixed shape (compiled once, reused across
+all refinement rounds and objects).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mesh import Mesh
+from .mesh.extract import MeshGenerator
+from .models.gtslice import GTSliceModel
+from .models.slicenet import SliceNetModel
+
+__all__ = ["Reconstructor"]
+
+
+class Reconstructor:
+    """Generator3D equivalent (reference reg_slices/reconstruct.py:24-173).
+
+    Args:
+      model: a model module exposing ``encode``/``query`` methods.
+      variables: flax variables for the model.
+      resolution0/upsampling_steps/threshold/chunk_size: MISE-compatible
+        operating point (reference options.py:45-48).
+    """
+
+    def __init__(
+        self,
+        model,
+        variables,
+        *,
+        resolution0: int = 64,
+        upsampling_steps: int = 2,
+        threshold: float = 0.5,
+        chunk_size: int = 65536,
+        box_size: float = 1.0,
+    ):
+        self.model = model
+        self.variables = variables
+        self.generator = MeshGenerator(
+            resolution0=resolution0,
+            upsampling_steps=upsampling_steps,
+            threshold=threshold,
+            chunk_size=chunk_size,
+            box_size=box_size,
+        )
+
+        is_slicenet = isinstance(model, SliceNetModel)
+
+        @jax.jit
+        def encode_fn(variables, imgs):
+            out = model.apply(variables, imgs, method=model.encode)
+            return out if not is_slicenet else out  # (pyramids) or (pyramids, slices)
+
+        @jax.jit
+        def query_fn(variables, pyramids, pts, trans_tp):
+            # test-mode canonical->camera mapping: flip y/z (models.py:53-56)
+            qry = pts[None] * jnp.array([1.0, -1.0, -1.0], dtype=pts.dtype)
+            sdf = model.apply(variables, pyramids, qry, trans_tp, method=model.query)
+            return -sdf[0]  # logit convention: inside positive
+
+        self._encode = encode_fn
+        self._query = query_fn
+        self._is_slicenet = is_slicenet
+
+    # -- encoding ---------------------------------------------------------
+
+    def encode_slices(self, img_slices: np.ndarray):
+        """img_slices: (S, H, W, 3) -> device pyramids (GTSlice path)."""
+        return self._encode(self.variables, jnp.asarray(img_slices)[None])
+
+    def encode_input_view(self, img_input: np.ndarray):
+        """img_input: (H, W, 3) -> (pyramids, predicted slices) (SliceNet)."""
+        return self._encode(self.variables, jnp.asarray(img_input)[None])
+
+    # -- full object reconstruction ---------------------------------------
+
+    def reconstruct(self, feed: Dict[str, np.ndarray]) -> Tuple[Mesh, Dict]:
+        """feed: one dataset sample (unbatched numpy dict)."""
+        trans_tp = jnp.asarray(feed["trans_mat_wo_rot_tp"])[None]
+        if self._is_slicenet:
+            pyramids, _ = self.encode_input_view(feed["img_input"])
+        else:
+            pyramids = self.encode_slices(feed["img_slices"])
+
+        def evaluator(pts: np.ndarray) -> np.ndarray:
+            out = self._query(self.variables, pyramids, jnp.asarray(pts), trans_tp)
+            return np.asarray(out)
+
+        return self.generator.generate(evaluator)
+
+    def predicted_slices(self, img_input: np.ndarray) -> np.ndarray:
+        """SliceNet only: (S, H, W, 3) predicted slice images in [-1, 1]."""
+        if not self._is_slicenet:
+            raise ValueError("predicted_slices requires a SliceNet model")
+        _, slices = self.encode_input_view(img_input)
+        return np.asarray(slices)

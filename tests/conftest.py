@@ -13,3 +13,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# This JAX build defaults matmuls/convs to reduced (bf16-class) precision
+# even on CPU; parity tests need fp32 math.  The env var is not honored by
+# this version, so set the config directly before any tracing happens.
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
+# The env vars above are not honored by this JAX build (the 'axon' TPU
+# plugin registers regardless); force the CPU platform via the config API.
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,82 @@
+"""Tests for coarse-to-fine grid refinement + mesh generation."""
+
+import numpy as np
+
+from slice3d_tpu.mesh.extract import (
+    GridRefiner,
+    MeshGenerator,
+    _upsample2x,
+    extract_mesh_from_grid,
+)
+
+
+def sphere_logits(pts: np.ndarray, radius=0.3) -> np.ndarray:
+    # "logit" convention: inside positive (like -sdf)
+    return (radius - np.linalg.norm(pts, axis=-1)).astype(np.float32)
+
+
+def test_upsample2x_linear_field():
+    # trilinear upsampling of a linear field is exact
+    n = 8
+    lin = np.linspace(0, 1, n + 1, dtype=np.float32)
+    x, y, z = np.meshgrid(lin, lin, lin, indexing="ij")
+    g = 2 * x - 3 * y + 0.5 * z
+    up = _upsample2x(g)
+    lin2 = np.linspace(0, 1, 2 * n + 1, dtype=np.float32)
+    x2, y2, z2 = np.meshgrid(lin2, lin2, lin2, indexing="ij")
+    np.testing.assert_allclose(up, 2 * x2 - 3 * y2 + 0.5 * z2, atol=1e-6)
+
+
+def test_refiner_matches_dense():
+    calls = {"n": 0}
+
+    def ev(pts):
+        calls["n"] += len(pts)
+        return sphere_logits(pts)
+
+    refiner = GridRefiner(resolution0=16, upsampling_steps=2, threshold=0.0, chunk_size=4096)
+    grid = refiner.build(ev)
+    res = 64
+    assert grid.shape == (res + 1,) * 3
+
+    dense_pts = refiner.lattice_points(res)
+    dense = sphere_logits(dense_pts).reshape(grid.shape)
+
+    # Near the iso-surface the refined grid must hold exact values.
+    band = np.abs(dense) < 0.5 / res
+    np.testing.assert_allclose(grid[band], dense[band], atol=1e-6)
+    # And it must agree in sign almost everywhere (trilinear fill elsewhere).
+    assert ((grid > 0) == (dense > 0)).mean() > 0.999
+
+
+def test_refiner_far_fewer_evals_than_dense():
+    count = {"n": 0}
+
+    def ev(pts):
+        count["n"] += len(pts)
+        return sphere_logits(pts)
+
+    GridRefiner(resolution0=32, upsampling_steps=2, chunk_size=1 << 16).build(ev)
+    dense = 129 ** 3
+    assert count["n"] < dense / 3
+
+
+def test_mesh_generator_end_to_end():
+    gen = MeshGenerator(resolution0=32, upsampling_steps=1, threshold=0.5, chunk_size=8192)
+    mesh, stats = gen.generate(sphere_logits)
+    assert not mesh.is_empty
+    r = np.linalg.norm(mesh.vertices, axis=1)
+    assert abs(np.median(r) - 0.3) < 1.0 / 64
+    assert stats["final_resolution"] == 64
+    assert stats["n_points_evaluated"] > 0
+
+
+def test_extract_world_mapping():
+    # grid of a halfspace x > 0 at res 32: surface plane should be x=0
+    n = 32
+    lin = np.linspace(-0.5, 0.5, n + 1, dtype=np.float32)
+    x = np.broadcast_to(lin[:, None, None], (n + 1, n + 1, n + 1)).copy()
+    mesh = extract_mesh_from_grid(x, 0.0, 1.0)
+    plane_x = mesh.vertices[:, 0]
+    inner = mesh.vertices[(np.abs(mesh.vertices[:, 1]) < 0.4) & (np.abs(mesh.vertices[:, 2]) < 0.4)]
+    assert np.abs(inner[np.abs(inner[:, 0]) < 0.1][:, 0]).max() < 1e-3

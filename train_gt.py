@@ -1,0 +1,19 @@
+#!/usr/bin/env python
+"""Train the GT-slices-to-3D model (reference reg_slices/train_gt.py CLI).
+
+  python train_gt.py --name_exp exp_gt --name_dataset objaverse \
+      --from_which_slices gt_rec
+"""
+
+from slice3d_tpu.config import options_from_args
+from slice3d_tpu.train.train_reg import train
+
+
+def main(argv=None):
+    opts = options_from_args(argv)
+    opts.name_model = "gtslice"
+    train(opts)
+
+
+if __name__ == "__main__":
+    main()
