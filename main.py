@@ -1,0 +1,237 @@
+#!/usr/bin/env python
+"""Latent-diffusion slice generation CLI (reference gen_slices/main.py).
+
+Train:    python main.py --base configs/objaverse-ldm-kl-8.yaml -t
+Sample:   python main.py --base configs/objaverse-ldm-kl-8-infer.yaml \
+              -r logs/<run>            # writes images_testing_sampled/
+VAE rec:  python main.py --base configs/autoencoder_kl_f8_infer.yaml \
+              -r logs/<run> --mode rec # writes images_reconstructed/
+
+YAML configs use the reference's target/params convention; reference class
+paths are aliased to the TPU implementations (slice3d_tpu.utils.registry).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import glob
+import os
+import sys
+import time
+
+import numpy as np
+import yaml
+
+import jax
+
+from slice3d_tpu.data.ldm_data import LDMSliceDataset
+from slice3d_tpu.data.pipeline import BatchLoader
+from slice3d_tpu.diffusion.latent import LatentDiffusion
+from slice3d_tpu.train.checkpoint import latest_checkpoint
+from slice3d_tpu.train.train_ldm import LDMTrainer
+from slice3d_tpu.utils.montage import slices_to_montage, save_image, to_uint8
+
+
+def get_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("-b", "--base", nargs="*", default=[])
+    p.add_argument("-t", "--train", action="store_true")
+    p.add_argument("-r", "--resume", type=str, default="")
+    p.add_argument("-n", "--name", type=str, default="")
+    p.add_argument("-s", "--seed", type=int, default=23)
+    p.add_argument("-l", "--logdir", type=str, default="logs")
+    p.add_argument("--gpus", type=str, default="")  # accepted for CLI compat
+    p.add_argument("--scale_lr", type=str, default="True")
+    p.add_argument("--data_root", type=str, default="")
+    p.add_argument("--mode", type=str, default="", choices=["", "sample", "rec"])
+    p.add_argument("--max_steps", type=int, default=-1)
+    p.add_argument("--ckpt_every", type=int, default=2000)
+    p.add_argument("--ddim_steps", type=int, default=200)
+    p.add_argument("--ddim_eta", type=float, default=1.0)
+    return p
+
+
+def deep_merge(a, b):
+    out = dict(a)
+    for k, v in b.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def apply_dotlist(cfg, items):
+    for item in items:
+        if "=" not in item:
+            continue
+        key, val = item.split("=", 1)
+        try:
+            val = yaml.safe_load(val)
+        except Exception:
+            pass
+        node = cfg
+        parts = key.split(".")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = val
+    return cfg
+
+
+def load_config(bases, dotlist):
+    cfg = {}
+    for b in bases:
+        with open(b) as f:
+            cfg = deep_merge(cfg, yaml.safe_load(f))
+    return apply_dotlist(cfg, dotlist)
+
+
+def build_module_and_trainer(cfg, scale_lr: bool):
+    mp = (cfg.get("model") or {}).get("params") or {}
+    unet = (mp.get("unet_config") or {}).get("params") or {}
+    dd = ((mp.get("first_stage_config") or {}).get("params") or {}).get("ddconfig") or {}
+    data_p = (cfg.get("data") or {}).get("params") or {}
+    bs = int(data_p.get("batch_size", 8))
+
+    img_size = 128
+    for split in ("train", "validation", "test"):
+        sp = (data_p.get(split) or {}).get("params") or {}
+        if "size" in sp:
+            img_size = int(sp["size"])
+            break
+
+    vae_mult = tuple(dd.get("ch_mult", (1, 2, 4, 4)))
+    downscale = 2 ** (len(vae_mult) - 1)
+    module = LatentDiffusion(
+        timesteps=int(mp.get("timesteps", 1000)),
+        linear_start=float(mp.get("linear_start", 0.0015)),
+        linear_end=float(mp.get("linear_end", 0.0155)),
+        loss_type=str(mp.get("loss_type", "l1")),
+        vae_ch=int(dd.get("ch", 128)),
+        vae_mult=vae_mult,
+        vae_nres=int(dd.get("num_res_blocks", 2)),
+        unet_channels=int(unet.get("model_channels", 192)),
+        unet_mult=tuple(unet.get("channel_mult", (1, 2, 2, 4, 4))),
+        unet_nres=int(unet.get("num_res_blocks", 2)),
+        latent_size=img_size // downscale,
+    )
+    trainer = LDMTrainer(
+        img_size=img_size,
+        batch_size=bs,
+        base_lr=float(cfg.get("model", {}).get("base_learning_rate", 5e-5)),
+        scale_lr=scale_lr,
+        timesteps=module.timesteps,
+        linear_start=module.linear_start,
+        linear_end=module.linear_end,
+        loss_type=module.loss_type,
+        module=module,
+    )
+    return module, trainer, img_size, bs
+
+
+def build_dataset(cfg, split, img_size, data_root):
+    data_p = (cfg.get("data") or {}).get("params") or {}
+    sp = (data_p.get(split) or {}).get("params") or {}
+    root = data_root or sp.get("root") or "./data/objaverse"
+    ldm_split = {"train": "train", "validation": "validation", "test": "test"}[split]
+    return LDMSliceDataset(root=root, split=ldm_split, size=img_size)
+
+
+def write_sample_outputs(logdir, batch_idx, batch, gen):
+    out_dir = os.path.join(logdir, "images_testing_sampled")
+    os.makedirs(out_dir, exist_ok=True)
+    for case in range(gen.shape[0]):
+        save_image(to_uint8(batch["img_ipt_view"][case]),
+                   os.path.join(out_dir, f"{batch_idx}_{case}_ipt.png"))
+        save_image(to_uint8(slices_to_montage(gen[case])),
+                   os.path.join(out_dir, f"{batch_idx}_{case}.png"))
+
+
+def write_rec_outputs(logdir, batch_idx, rec):
+    out_dir = os.path.join(logdir, "images_reconstructed")
+    os.makedirs(out_dir, exist_ok=True)
+    for case in range(rec.shape[0]):
+        save_image(to_uint8(slices_to_montage(rec[case])),
+                   os.path.join(out_dir, f"{batch_idx}_{case}.png"))
+
+
+def main(argv=None):
+    args, unknown = get_parser().parse_known_args(argv)
+    cfg = load_config(args.base, unknown)
+    scale_lr = str(args.scale_lr).lower() != "false"
+
+    module, trainer, img_size, bs = build_module_and_trainer(cfg, scale_lr)
+    state = trainer.init_state(args.seed)
+
+    # resume: -r may be a logdir or a ckpt file
+    logdir = None
+    if args.resume:
+        if os.path.isfile(args.resume):
+            ckpt = args.resume
+            logdir = os.path.dirname(os.path.dirname(args.resume))
+        else:
+            logdir = args.resume.rstrip("/")
+            ckpt = latest_checkpoint(os.path.join(logdir, "checkpoints"))
+        if ckpt:
+            state = trainer.restore(state, ckpt)
+            print(f"restored from {ckpt} (step {int(state.step)})")
+
+    if logdir is None:
+        now = datetime.datetime.now().strftime("%Y-%m-%dT%H-%M-%S")
+        cfg_name = (
+            args.name
+            or (os.path.splitext(os.path.basename(args.base[0]))[0] if args.base else "run")
+        )
+        logdir = os.path.join(args.logdir, f"{now}_{cfg_name}")
+    ckpt_dir = os.path.join(logdir, "checkpoints")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    os.makedirs(os.path.join(logdir, "configs"), exist_ok=True)
+    with open(os.path.join(logdir, "configs", "merged.yaml"), "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    if args.train:
+        ds = build_dataset(cfg, "train", img_size, args.data_root)
+        loader = BatchLoader(ds, bs, shuffle=True, num_workers=4)
+        rng = jax.random.PRNGKey(args.seed)
+        t0 = time.time()
+        step = int(state.step)
+        while True:
+            for batch in loader:
+                if int(state.step) == 0:
+                    state = trainer.maybe_set_scale(state, batch)
+                rng, sub = jax.random.split(rng)
+                state, logs = trainer.train_step(state, batch, sub)
+                step = int(state.step)
+                if step % 50 == 0:
+                    print(f"step {step}: loss {float(logs['loss']):.5f} "
+                          f"simple {float(logs['loss_simple']):.5f} "
+                          f"({time.time() - t0:.0f}s)")
+                if step % args.ckpt_every == 0:
+                    trainer.save(state, os.path.join(ckpt_dir, "last.ckpt"))
+                if args.max_steps > 0 and step >= args.max_steps:
+                    trainer.save(state, os.path.join(ckpt_dir, "last.ckpt"))
+                    return
+    else:
+        mode = args.mode or "sample"
+        split = "test"
+        ds = build_dataset(cfg, split, img_size, args.data_root)
+        if mode == "rec":
+            ds.split = "trainval_rec"
+            ds.__post_init__()
+        loader = BatchLoader(ds, bs, shuffle=False, drop_last=False, num_workers=4)
+        for batch_idx, batch in enumerate(loader):
+            if mode == "rec":
+                rec = trainer.reconstruct_slices(state, batch)
+                write_rec_outputs(logdir, batch_idx, rec)
+            else:
+                gen = trainer.sample_slices(
+                    state, batch, ddim_steps=args.ddim_steps, eta=args.ddim_eta,
+                    rng=jax.random.PRNGKey(args.seed + batch_idx),
+                )
+                write_sample_outputs(logdir, batch_idx, batch, gen)
+            print(f"batch {batch_idx} done")
+
+
+if __name__ == "__main__":
+    main()

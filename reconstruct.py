@@ -51,6 +51,7 @@ def main(argv=None):
         upsampling_steps=opts.mc_up_steps,
         threshold=opts.mc_threshold,
         chunk_size=opts.mc_chunk_size,
+        simplify_nfaces=opts.simplify_nfaces,
     )
 
     out_dir = os.path.join(opts.exp_dir, "results", opts.name_dataset)

@@ -55,6 +55,7 @@ class Options:
     mc_res0: int = 64
     mc_up_steps: int = 2
     mc_threshold: float = 0.5
+    simplify_nfaces: int = 0  # 0 = no simplification
     # testing
     name_ckpt: str = ""
     name_ckpt_cam: str = ""

@@ -247,6 +247,199 @@ def slicenet_model(sd: Mapping) -> Dict:
     }
 
 
+def group_norm_params(sd: Mapping, prefix: str) -> Dict[str, np.ndarray]:
+    return {
+        "scale": np.asarray(sd[_key(prefix, "weight")]),
+        "bias": np.asarray(sd[_key(prefix, "bias")]),
+    }
+
+
+def _resnet_block(sd: Mapping, p: str, has_shortcut: bool) -> Dict:
+    out = {
+        "norm1": group_norm_params(sd, f"{p}.norm1"),
+        "conv1": conv_params(sd, f"{p}.conv1"),
+        "norm2": group_norm_params(sd, f"{p}.norm2"),
+        "conv2": conv_params(sd, f"{p}.conv2"),
+    }
+    if has_shortcut:
+        out["nin_shortcut"] = conv_params(sd, f"{p}.nin_shortcut")
+    return out
+
+
+def _attn_block(sd: Mapping, p: str) -> Dict:
+    return {
+        "norm": group_norm_params(sd, f"{p}.norm"),
+        "q": conv_params(sd, f"{p}.q"),
+        "k": conv_params(sd, f"{p}.k"),
+        "v": conv_params(sd, f"{p}.v"),
+        "proj_out": conv_params(sd, f"{p}.proj_out"),
+    }
+
+
+def autoencoder_kl(
+    sd: Mapping,
+    prefix: str = "",
+    ch: int = 128,
+    ch_mult=(1, 2, 4, 4),
+    num_res_blocks: int = 2,
+) -> Dict:
+    """CompVis AutoencoderKL state dict -> our AutoencoderKL params.
+
+    Accepts both bare VAE checkpoints (encoder./decoder./quant_conv.) and
+    LatentDiffusion checkpoints (pass prefix='first_stage_model').
+    """
+    sd = to_numpy(sd)
+    enc: Dict = {"conv_in": conv_params(sd, _key(prefix, "encoder.conv_in"))}
+    in_ch = ch
+    for i, mult in enumerate(ch_mult):
+        out_ch = ch * mult
+        for j in range(num_res_blocks):
+            p = _key(prefix, f"encoder.down.{i}.block.{j}")
+            enc[f"down{i}_block{j}"] = _resnet_block(sd, p, in_ch != out_ch)
+            in_ch = out_ch
+        if i + 1 < len(ch_mult):
+            enc[f"down{i}_downsample"] = {
+                "conv": conv_params(sd, _key(prefix, f"encoder.down.{i}.downsample.conv"))
+            }
+    enc["mid_block1"] = _resnet_block(sd, _key(prefix, "encoder.mid.block_1"), False)
+    enc["mid_attn"] = _attn_block(sd, _key(prefix, "encoder.mid.attn_1"))
+    enc["mid_block2"] = _resnet_block(sd, _key(prefix, "encoder.mid.block_2"), False)
+    enc["norm_out"] = group_norm_params(sd, _key(prefix, "encoder.norm_out"))
+    enc["conv_out"] = conv_params(sd, _key(prefix, "encoder.conv_out"))
+
+    dec: Dict = {"conv_in": conv_params(sd, _key(prefix, "decoder.conv_in"))}
+    dec["mid_block1"] = _resnet_block(sd, _key(prefix, "decoder.mid.block_1"), False)
+    dec["mid_attn"] = _attn_block(sd, _key(prefix, "decoder.mid.attn_1"))
+    dec["mid_block2"] = _resnet_block(sd, _key(prefix, "decoder.mid.block_2"), False)
+    in_ch = ch * ch_mult[-1]
+    for i in reversed(range(len(ch_mult))):
+        out_ch = ch * ch_mult[i]
+        for j in range(num_res_blocks + 1):
+            p = _key(prefix, f"decoder.up.{i}.block.{j}")
+            dec[f"up{i}_block{j}"] = _resnet_block(sd, p, in_ch != out_ch)
+            in_ch = out_ch
+        if i > 0:
+            dec[f"up{i}_upsample"] = {
+                "conv": conv_params(sd, _key(prefix, f"decoder.up.{i}.upsample.conv"))
+            }
+    dec["norm_out"] = group_norm_params(sd, _key(prefix, "decoder.norm_out"))
+    dec["conv_out"] = conv_params(sd, _key(prefix, "decoder.conv_out"))
+
+    return {
+        "params": {
+            "encoder": enc,
+            "decoder": dec,
+            "quant_conv": conv_params(sd, _key(prefix, "quant_conv")),
+            "post_quant_conv": conv_params(sd, _key(prefix, "post_quant_conv")),
+        }
+    }
+
+
+def _conv1d_as_dense(sd: Mapping, prefix: str) -> Dict[str, np.ndarray]:
+    """torch Conv1d(kernel=1) weight (O, I, 1) -> Dense kernel (I, O)."""
+    w = np.asarray(sd[_key(prefix, "weight")])
+    return {
+        "kernel": np.ascontiguousarray(w[:, :, 0].T),
+        "bias": np.asarray(sd[_key(prefix, "bias")]),
+    }
+
+
+def _adm_resblock(sd: Mapping, p: str, has_skip: bool) -> Dict:
+    out = {
+        "in_norm": group_norm_params(sd, f"{p}.in_layers.0"),
+        "in_conv": conv_params(sd, f"{p}.in_layers.2"),
+        "emb_proj": linear_params(sd, f"{p}.emb_layers.1"),
+        "out_norm": group_norm_params(sd, f"{p}.out_layers.0"),
+        "out_conv": conv_params(sd, f"{p}.out_layers.3"),
+    }
+    if has_skip:
+        out["skip"] = conv_params(sd, f"{p}.skip_connection")
+    return out
+
+
+def _adm_attn(sd: Mapping, p: str) -> Dict:
+    return {
+        "norm": group_norm_params(sd, f"{p}.norm"),
+        "qkv": _conv1d_as_dense(sd, f"{p}.qkv"),
+        "proj_out": _conv1d_as_dense(sd, f"{p}.proj_out"),
+    }
+
+
+def ldm_unet(
+    sd: Mapping,
+    prefix: str = "model.diffusion_model",
+    model_channels: int = 192,
+    channel_mult=(1, 2, 2, 4, 4),
+    num_res_blocks: int = 2,
+    attention_ds=(1, 2, 4, 8),
+) -> Dict:
+    """Reference UNetModel state dict -> LDMUNet params.
+
+    The ADM QKVAttentionLegacy layout (heads-major interleave) matches our
+    head reshape, so qkv weights convert as plain dense kernels.
+    """
+    sd = to_numpy(sd)
+    params: Dict = {
+        "time_embed_0": linear_params(sd, _key(prefix, "time_embed.0")),
+        "time_embed_2": linear_params(sd, _key(prefix, "time_embed.2")),
+        "input_0_0": conv_params(sd, _key(prefix, "input_blocks.0.0")),
+        "out_norm": group_norm_params(sd, _key(prefix, "out.0")),
+        "out_conv": conv_params(sd, _key(prefix, "out.2")),
+    }
+
+    block_id = 1
+    ds = 1
+    ch = model_channels
+    for level, mult in enumerate(channel_mult):
+        out_ch = model_channels * mult
+        for _ in range(num_res_blocks):
+            p = _key(prefix, f"input_blocks.{block_id}")
+            params[f"input_{block_id}_0"] = _adm_resblock(sd, f"{p}.0", ch != out_ch)
+            if ds in attention_ds:
+                params[f"input_{block_id}_1"] = _adm_attn(sd, f"{p}.1")
+            ch = out_ch
+            block_id += 1
+        if level + 1 < len(channel_mult):
+            p = _key(prefix, f"input_blocks.{block_id}")
+            params[f"input_{block_id}_0"] = _adm_resblock(sd, f"{p}.0", False)
+            block_id += 1
+            ds *= 2
+
+    params["middle_0"] = _adm_resblock(sd, _key(prefix, "middle_block.0"), False)
+    params["middle_1"] = _adm_attn(sd, _key(prefix, "middle_block.1"))
+    params["middle_2"] = _adm_resblock(sd, _key(prefix, "middle_block.2"), False)
+
+    block_id = 0
+    for level in reversed(range(len(channel_mult))):
+        out_ch = model_channels * channel_mult[level]
+        for i in range(num_res_blocks + 1):
+            p = _key(prefix, f"output_blocks.{block_id}")
+            params[f"output_{block_id}_0"] = _adm_resblock(sd, f"{p}.0", True)
+            li = 1
+            if ds in attention_ds:
+                params[f"output_{block_id}_{li}"] = _adm_attn(sd, f"{p}.{li}")
+                li += 1
+            if level > 0 and i == num_res_blocks:
+                params[f"output_{block_id}_{li}"] = _adm_resblock(sd, f"{p}.{li}", False)
+                ds //= 2
+            block_id += 1
+    return {"params": params}
+
+
+def cond_image_encoder(sd: Mapping, prefix: str = "cond_stage_model") -> Dict:
+    """Reference ImageEncoderVGG16BN -> CondImageEncoder variables."""
+    sd = to_numpy(sd)
+    blocks = [
+        _key(prefix, b)
+        for b in ("conv1_2", "conv2_2", "conv3_3", "conv4_3", "conv5_3", "conv_last")
+    ]
+    enc = vgg16bn_backbone_from_ref(sd, blocks)
+    params: Dict = {"backbone": enc["params"]}
+    for i, t in enumerate(("trans1_2", "trans2_2", "trans3_3", "trans4_3", "trans5_3")):
+        params[f"trans{i}"] = conv_params(sd, _key(prefix, t))
+    return {"params": params, "batch_stats": {"backbone": enc["batch_stats"]}}
+
+
 def vgg19_features(sd: Mapping, prefix: str = "features") -> Dict:
     """Map torchvision vgg19 features onto VGG19Features params."""
     sd = to_numpy(sd)

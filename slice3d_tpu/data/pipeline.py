@@ -60,16 +60,19 @@ class BatchLoader:
         stop = threading.Event()
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for batch_idx in self._batch_indices():
-                    if stop.is_set():
-                        return
-                    samples = list(pool.map(self.dataset.__getitem__, batch_idx))
-                    batch = {
-                        k: np.stack([s[k] for s in samples]) for k in samples[0]
-                    }
-                    q.put(batch)
-            q.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for batch_idx in self._batch_indices():
+                        if stop.is_set():
+                            return
+                        samples = list(pool.map(self.dataset.__getitem__, batch_idx))
+                        batch = {
+                            k: np.stack([s[k] for s in samples]) for k in samples[0]
+                        }
+                        q.put(batch)
+                q.put(None)
+            except BaseException as exc:  # surface worker failures to the consumer
+                q.put(exc)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
@@ -78,6 +81,8 @@ class BatchLoader:
                 batch = q.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

@@ -19,10 +19,16 @@ from dataclasses import dataclass
 
 import numpy as np
 
-__all__ = ["Mesh", "isosurface", "export_obj", "load_library"]
+__all__ = [
+    "Mesh", "isosurface", "simplify_mesh", "points_inside_mesh",
+    "voxelize_mesh", "export_obj", "load_library",
+]
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
-_SRC = os.path.join(_NATIVE_DIR, "mesh_native.cpp")
+_SRCS = [
+    os.path.join(_NATIVE_DIR, "mesh_native.cpp"),
+    os.path.join(_NATIVE_DIR, "mesh_extra.cpp"),
+]
 _LIB = os.path.join(_NATIVE_DIR, "libs3dmesh.so")
 _LOCK = threading.Lock()
 _LIBHANDLE = None
@@ -44,23 +50,30 @@ def load_library() -> ctypes.CDLL:
     with _LOCK:
         if _LIBHANDLE is not None:
             return _LIBHANDLE
-        if (not os.path.exists(_LIB)) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-            cmd = [
-                "g++", "-O3", "-std=c++17", "-fPIC", "-shared",
-                "-o", _LIB, _SRC,
-            ]
+        stale = (not os.path.exists(_LIB)) or any(
+            os.path.getmtime(_LIB) < os.path.getmtime(s) for s in _SRCS
+        )
+        if stale:
+            cmd = ["g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-o", _LIB] + _SRCS
             subprocess.run(cmd, check=True, capture_output=True)
         lib = ctypes.CDLL(_LIB)
+        i64, f32p = ctypes.c_int64, ctypes.POINTER(ctypes.c_float)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.s3d_isosurface.restype = ctypes.c_int
         lib.s3d_isosurface.argtypes = [
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_float,
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
-            ctypes.POINTER(ctypes.c_int64),
+            f32p, i64, i64, i64, ctypes.c_float,
+            ctypes.POINTER(f32p), i64p, ctypes.POINTER(i64p), i64p,
         ]
+        lib.s3d_simplify.restype = ctypes.c_int
+        lib.s3d_simplify.argtypes = [
+            f32p, i64, i64p, i64, i64,
+            ctypes.POINTER(f32p), i64p, ctypes.POINTER(i64p), i64p,
+        ]
+        lib.s3d_points_inside.restype = ctypes.c_int
+        lib.s3d_points_inside.argtypes = [f32p, i64, i64p, i64, f32p, i64, u8p]
+        lib.s3d_voxelize.restype = ctypes.c_int
+        lib.s3d_voxelize.argtypes = [f32p, i64, i64p, i64, i64, u8p]
         lib.s3d_free.argtypes = [ctypes.c_void_p]
         _LIBHANDLE = lib
         return lib
@@ -99,6 +112,71 @@ def isosurface(grid: np.ndarray, iso: float = 0.0) -> Mesh:
         lib.s3d_free(verts_p)
         lib.s3d_free(faces_p)
     return Mesh(vertices=verts, faces=faces)
+
+
+def simplify_mesh(mesh: Mesh, target_faces: int) -> Mesh:
+    """Quadric edge-collapse simplification (role of the reference's
+    libsimplify ``simplify_mesh(mesh, f_target, ...)``)."""
+    if mesh.is_empty:
+        return mesh
+    lib = load_library()
+    v = np.ascontiguousarray(mesh.vertices, np.float32)
+    f = np.ascontiguousarray(mesh.faces, np.int64)
+    verts_p = ctypes.POINTER(ctypes.c_float)()
+    faces_p = ctypes.POINTER(ctypes.c_int64)()
+    nv = ctypes.c_int64()
+    nf = ctypes.c_int64()
+    rc = lib.s3d_simplify(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(v),
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(f),
+        int(target_faces),
+        ctypes.byref(verts_p), ctypes.byref(nv),
+        ctypes.byref(faces_p), ctypes.byref(nf),
+    )
+    if rc != 0:
+        raise RuntimeError("simplification failed")
+    try:
+        verts = np.ctypeslib.as_array(verts_p, shape=(nv.value, 3)).copy() if nv.value else np.zeros((0, 3), np.float32)
+        faces = np.ctypeslib.as_array(faces_p, shape=(nf.value, 3)).copy() if nf.value else np.zeros((0, 3), np.int64)
+    finally:
+        lib.s3d_free(verts_p)
+        lib.s3d_free(faces_p)
+    return Mesh(vertices=verts, faces=faces)
+
+
+def points_inside_mesh(mesh: Mesh, points: np.ndarray) -> np.ndarray:
+    """Boolean containment per point (role of libmesh check_mesh_contains)."""
+    lib = load_library()
+    v = np.ascontiguousarray(mesh.vertices, np.float32)
+    f = np.ascontiguousarray(mesh.faces, np.int64)
+    p = np.ascontiguousarray(points, np.float32)
+    out = np.zeros(len(p), np.uint8)
+    rc = lib.s3d_points_inside(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(v),
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(f),
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(p),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        raise RuntimeError("inside-mesh test failed")
+    return out.astype(bool)
+
+
+def voxelize_mesh(mesh: Mesh, resolution: int) -> np.ndarray:
+    """Conservative surface voxelization over [0,1]^3 (role of libvoxelize)."""
+    lib = load_library()
+    v = np.ascontiguousarray(mesh.vertices, np.float32)
+    f = np.ascontiguousarray(mesh.faces, np.int64)
+    occ = np.zeros((resolution,) * 3, np.uint8)
+    rc = lib.s3d_voxelize(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(v),
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(f),
+        resolution,
+        occ.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        raise RuntimeError("voxelization failed")
+    return occ.astype(bool)
 
 
 def export_obj(mesh: Mesh, path: str) -> None:

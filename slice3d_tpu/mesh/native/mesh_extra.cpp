@@ -1,0 +1,344 @@
+// Additional native mesh kernels: quadric simplification, point-in-mesh,
+// conservative voxelization.  Original implementations of the roles played
+// by the reference's vendored libsimplify / libmesh / libvoxelize.
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <cmath>
+#include <queue>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+#include <algorithm>
+#include <array>
+#include <functional>
+
+namespace {
+
+struct Vec3 {
+  double x, y, z;
+  Vec3 operator+(const Vec3& o) const { return {x + o.x, y + o.y, z + o.z}; }
+  Vec3 operator-(const Vec3& o) const { return {x - o.x, y - o.y, z - o.z}; }
+  Vec3 operator*(double s) const { return {x * s, y * s, z * s}; }
+};
+static inline double dot3(const Vec3& a, const Vec3& b) {
+  return a.x * b.x + a.y * b.y + a.z * b.z;
+}
+static inline Vec3 cross3(const Vec3& a, const Vec3& b) {
+  return {a.y * b.z - a.z * b.y, a.z * b.x - a.x * b.z, a.x * b.y - a.y * b.x};
+}
+
+// Symmetric 4x4 quadric, stored as upper triangle (10 doubles).
+struct Quadric {
+  double m[10] = {0};
+  void add_plane(double a, double b, double c, double d, double w = 1.0) {
+    const double v[4] = {a, b, c, d};
+    int k = 0;
+    for (int i = 0; i < 4; ++i)
+      for (int j = i; j < 4; ++j) m[k++] += w * v[i] * v[j];
+  }
+  Quadric& operator+=(const Quadric& o) {
+    for (int i = 0; i < 10; ++i) m[i] += o.m[i];
+    return *this;
+  }
+  // Solve grad(v^T Q v) = 0 for the optimal placement: A x = -b with
+  // A = Q[0:3,0:3], b = Q[0:3,3].  Returns false if near-singular.
+  bool optimal(Vec3* out) const {
+    const double a11 = m[0], a12 = m[1], a13 = m[2], b1 = m[3];
+    const double a22 = m[4], a23 = m[5], b2 = m[6];
+    const double a33 = m[7], b3 = m[8];
+    const double det = a11 * (a22 * a33 - a23 * a23) -
+                       a12 * (a12 * a33 - a23 * a13) +
+                       a13 * (a12 * a23 - a22 * a13);
+    if (std::fabs(det) < 1e-12) return false;
+    const double inv = 1.0 / det;
+    out->x = -inv * (b1 * (a22 * a33 - a23 * a23) - a12 * (b2 * a33 - a23 * b3) +
+                     a13 * (b2 * a23 - a22 * b3));
+    out->y = -inv * (a11 * (b2 * a33 - a23 * b3) - b1 * (a12 * a33 - a13 * a23) +
+                     a13 * (a12 * b3 - b2 * a13));
+    out->z = -inv * (a11 * (a22 * b3 - b2 * a23) - a12 * (a12 * b3 - b2 * a13) +
+                     b1 * (a12 * a23 - a22 * a13));
+    return true;
+  }
+
+  double eval(const Vec3& p) const {
+    const double v[4] = {p.x, p.y, p.z, 1.0};
+    // expand symmetric form
+    double full[4][4];
+    int k = 0;
+    for (int i = 0; i < 4; ++i)
+      for (int j = i; j < 4; ++j) {
+        full[i][j] = m[k];
+        full[j][i] = m[k];
+        ++k;
+      }
+    double s = 0;
+    for (int i = 0; i < 4; ++i)
+      for (int j = 0; j < 4; ++j) s += v[i] * full[i][j] * v[j];
+    return s;
+  }
+};
+
+struct Collapse {
+  double cost;
+  int u, v;        // collapse u -> v (v keeps position `pos`)
+  int version;     // staleness check
+  Vec3 pos;
+  bool operator>(const Collapse& o) const { return cost > o.cost; }
+};
+
+}  // namespace
+
+extern "C" {
+
+void s3d_free(void* p);  // defined in mesh_native.cpp
+
+// Quadric-error edge-collapse simplification to ~target_faces.
+int s3d_simplify(const float* verts, int64_t nv, const int64_t* faces,
+                 int64_t nf, int64_t target_faces, float** out_verts,
+                 int64_t* out_nv, int64_t** out_faces, int64_t* out_nf) {
+  std::vector<Vec3> v(nv);
+  for (int64_t i = 0; i < nv; ++i)
+    v[i] = {verts[3 * i], verts[3 * i + 1], verts[3 * i + 2]};
+  std::vector<std::array<int, 3>> f(nf);
+  for (int64_t i = 0; i < nf; ++i)
+    f[i] = {(int)faces[3 * i], (int)faces[3 * i + 1], (int)faces[3 * i + 2]};
+
+  std::vector<Quadric> q(nv);
+  std::vector<std::vector<int>> vfaces(nv);
+  for (int64_t i = 0; i < nf; ++i) {
+    const Vec3 &a = v[f[i][0]], &b = v[f[i][1]], &c = v[f[i][2]];
+    Vec3 n = cross3(b - a, c - a);
+    double len = std::sqrt(dot3(n, n));
+    if (len < 1e-30) continue;
+    n = n * (1.0 / len);
+    double d = -dot3(n, a);
+    for (int j = 0; j < 3; ++j) {
+      q[f[i][j]].add_plane(n.x, n.y, n.z, d, len);  // area-weighted
+      vfaces[f[i][j]].push_back((int)i);
+    }
+  }
+
+  std::vector<int> version(nv, 0);
+  std::vector<int> parent(nv);
+  for (int64_t i = 0; i < nv; ++i) parent[i] = (int)i;
+  std::function<int(int)> find = [&](int x) {
+    while (parent[x] != x) x = parent[x] = parent[parent[x]];
+    return x;
+  };
+
+  auto edge_candidate = [&](int a, int b) {
+    Quadric sum = q[a];
+    sum += q[b];
+    Collapse col;
+    col.u = a;
+    col.v = b;
+    col.version = version[a] + version[b];
+    Vec3 opt;
+    Vec3 mid = (v[a] + v[b]) * 0.5;
+    double best_cost;
+    Vec3 best_pos;
+    if (sum.optimal(&opt)) {
+      best_cost = sum.eval(opt);
+      best_pos = opt;
+    } else {
+      best_cost = sum.eval(mid);
+      best_pos = mid;
+    }
+    double ca = sum.eval(v[a]), cb = sum.eval(v[b]);
+    if (ca < best_cost) { best_cost = ca; best_pos = v[a]; }
+    if (cb < best_cost) { best_cost = cb; best_pos = v[b]; }
+    col.cost = best_cost;
+    col.pos = best_pos;
+    return col;
+  };
+
+  std::priority_queue<Collapse, std::vector<Collapse>, std::greater<Collapse>> heap;
+  std::unordered_set<uint64_t> seen;
+  auto push_edges_of = [&](int64_t fi) {
+    for (int e = 0; e < 3; ++e) {
+      int a = f[fi][e], b = f[fi][(e + 1) % 3];
+      if (a > b) std::swap(a, b);
+      uint64_t key = ((uint64_t)a << 32) | (uint64_t)b;
+      if (seen.insert(key).second) heap.push(edge_candidate(a, b));
+    }
+  };
+  for (int64_t i = 0; i < nf; ++i) push_edges_of(i);
+
+  std::vector<char> face_dead(nf, 0);
+  int64_t live_faces = nf;
+
+  while (live_faces > target_faces && !heap.empty()) {
+    Collapse c = heap.top();
+    heap.pop();
+    int a = find(c.u), b = find(c.v);
+    if (a == b) continue;
+    if (c.version != version[c.u] + version[c.v]) continue;  // stale
+
+    // collapse a into b at c.pos
+    parent[a] = b;
+    v[b] = c.pos;
+    q[b] += q[a];
+    version[b]++;
+
+    // merge adjacency; kill degenerate faces
+    std::vector<int> merged;
+    merged.reserve(vfaces[a].size() + vfaces[b].size());
+    for (int list_id = 0; list_id < 2; ++list_id) {
+      const auto& src = list_id == 0 ? vfaces[a] : vfaces[b];
+      for (int fi : src) {
+        if (face_dead[fi]) continue;
+        int r0 = find(f[fi][0]), r1 = find(f[fi][1]), r2 = find(f[fi][2]);
+        if (r0 == r1 || r1 == r2 || r2 == r0) {
+          face_dead[fi] = 1;
+          --live_faces;
+        } else {
+          merged.push_back(fi);
+        }
+      }
+    }
+    std::sort(merged.begin(), merged.end());
+    merged.erase(std::unique(merged.begin(), merged.end()), merged.end());
+    vfaces[b] = std::move(merged);
+    vfaces[a].clear();
+
+    // refresh candidate edges around b
+    std::unordered_set<int> nbrs;
+    for (int fi : vfaces[b])
+      for (int j = 0; j < 3; ++j) {
+        int r = find(f[fi][j]);
+        if (r != b) nbrs.insert(r);
+      }
+    for (int nb : nbrs) heap.push(edge_candidate(b, nb));
+  }
+
+  // compact output
+  std::vector<int> remap(nv, -1);
+  std::vector<Vec3> out_v;
+  std::vector<std::array<int, 3>> out_f;
+  for (int64_t i = 0; i < nf; ++i) {
+    if (face_dead[i]) continue;
+    std::array<int, 3> tri;
+    bool ok = true;
+    for (int j = 0; j < 3; ++j) {
+      int r = find(f[i][j]);
+      if (remap[r] < 0) {
+        remap[r] = (int)out_v.size();
+        out_v.push_back(v[r]);
+      }
+      tri[j] = remap[r];
+    }
+    if (tri[0] == tri[1] || tri[1] == tri[2] || tri[2] == tri[0]) ok = false;
+    if (ok) out_f.push_back(tri);
+  }
+
+  *out_nv = (int64_t)out_v.size();
+  *out_nf = (int64_t)out_f.size();
+  *out_verts = (float*)std::malloc(sizeof(float) * 3 * std::max<int64_t>(*out_nv, 1));
+  *out_faces = (int64_t*)std::malloc(sizeof(int64_t) * 3 * std::max<int64_t>(*out_nf, 1));
+  if (!*out_verts || !*out_faces) return -1;
+  for (size_t i = 0; i < out_v.size(); ++i) {
+    (*out_verts)[3 * i] = (float)out_v[i].x;
+    (*out_verts)[3 * i + 1] = (float)out_v[i].y;
+    (*out_verts)[3 * i + 2] = (float)out_v[i].z;
+  }
+  for (size_t i = 0; i < out_f.size(); ++i)
+    for (int j = 0; j < 3; ++j) (*out_faces)[3 * i + j] = out_f[i][j];
+  return 0;
+}
+
+// Point-in-mesh via 2D bucketing + vertical ray parity (role of the
+// reference's libmesh triangle hash, inside_mesh.py:5-8).
+int s3d_points_inside(const float* verts, int64_t nv, const int64_t* faces,
+                      int64_t nf, const float* points, int64_t np,
+                      uint8_t* out_inside) {
+  if (nf == 0) {
+    std::memset(out_inside, 0, np);
+    return 0;
+  }
+  // bounding box in xy
+  double minx = 1e30, miny = 1e30, maxx = -1e30, maxy = -1e30;
+  for (int64_t i = 0; i < nv; ++i) {
+    minx = std::min(minx, (double)verts[3 * i]);
+    maxx = std::max(maxx, (double)verts[3 * i]);
+    miny = std::min(miny, (double)verts[3 * i + 1]);
+    maxy = std::max(maxy, (double)verts[3 * i + 1]);
+  }
+  int res = (int)std::ceil(std::sqrt((double)nf));
+  res = std::max(res, 1);
+  double sx = (maxx - minx) / res + 1e-12, sy = (maxy - miny) / res + 1e-12;
+  std::vector<std::vector<int>> buckets((size_t)res * res);
+  auto bucket_of = [&](double x, double y) {
+    int bx = std::min(std::max((int)((x - minx) / sx), 0), res - 1);
+    int by = std::min(std::max((int)((y - miny) / sy), 0), res - 1);
+    return by * res + bx;
+  };
+  for (int64_t i = 0; i < nf; ++i) {
+    const float* a = &verts[3 * faces[3 * i]];
+    const float* b = &verts[3 * faces[3 * i + 1]];
+    const float* c = &verts[3 * faces[3 * i + 2]];
+    double txmin = std::min({a[0], b[0], c[0]}), txmax = std::max({a[0], b[0], c[0]});
+    double tymin = std::min({a[1], b[1], c[1]}), tymax = std::max({a[1], b[1], c[1]});
+    int bx0 = std::min(std::max((int)((txmin - minx) / sx), 0), res - 1);
+    int bx1 = std::min(std::max((int)((txmax - minx) / sx), 0), res - 1);
+    int by0 = std::min(std::max((int)((tymin - miny) / sy), 0), res - 1);
+    int by1 = std::min(std::max((int)((tymax - miny) / sy), 0), res - 1);
+    for (int by = by0; by <= by1; ++by)
+      for (int bx = bx0; bx <= bx1; ++bx)
+        buckets[(size_t)by * res + bx].push_back((int)i);
+  }
+
+  for (int64_t p = 0; p < np; ++p) {
+    double px = points[3 * p], py = points[3 * p + 1], pz = points[3 * p + 2];
+    if (px < minx || px > maxx || py < miny || py > maxy) {
+      out_inside[p] = 0;
+      continue;
+    }
+    int crossings = 0;
+    for (int fi : buckets[bucket_of(px, py)]) {
+      const float* a = &verts[3 * faces[3 * fi]];
+      const float* b = &verts[3 * faces[3 * fi + 1]];
+      const float* c = &verts[3 * faces[3 * fi + 2]];
+      // 2D point-in-triangle (xy projection), then z of intersection
+      double d = (b[1] - c[1]) * (a[0] - c[0]) + (c[0] - b[0]) * (a[1] - c[1]);
+      if (std::fabs(d) < 1e-18) continue;
+      double w0 = ((b[1] - c[1]) * (px - c[0]) + (c[0] - b[0]) * (py - c[1])) / d;
+      double w1 = ((c[1] - a[1]) * (px - c[0]) + (a[0] - c[0]) * (py - c[1])) / d;
+      double w2 = 1.0 - w0 - w1;
+      if (w0 < 0 || w1 < 0 || w2 < 0) continue;
+      double z = w0 * a[2] + w1 * b[2] + w2 * c[2];
+      if (z > pz) ++crossings;
+    }
+    out_inside[p] = (uint8_t)(crossings & 1);
+  }
+  return 0;
+}
+
+// Conservative voxelization: mark every voxel whose AABB a triangle touches
+// (AABB test in voxel space; the role of libvoxelize's SAT-based marker for
+// occupancy grids).  Grid is res^3 over [0, 1]^3 with vertices given in
+// [0, 1] coordinates.
+int s3d_voxelize(const float* verts, int64_t nv, const int64_t* faces,
+                 int64_t nf, int64_t res, uint8_t* out_occ) {
+  std::memset(out_occ, 0, (size_t)res * res * res);
+  auto clampi = [&](int x) { return std::min(std::max(x, 0), (int)res - 1); };
+  for (int64_t i = 0; i < nf; ++i) {
+    const float* a = &verts[3 * faces[3 * i]];
+    const float* b = &verts[3 * faces[3 * i + 1]];
+    const float* c = &verts[3 * faces[3 * i + 2]];
+    int x0 = clampi((int)std::floor(std::min({a[0], b[0], c[0]}) * res));
+    int x1 = clampi((int)std::floor(std::max({a[0], b[0], c[0]}) * res));
+    int y0 = clampi((int)std::floor(std::min({a[1], b[1], c[1]}) * res));
+    int y1 = clampi((int)std::floor(std::max({a[1], b[1], c[1]}) * res));
+    int z0 = clampi((int)std::floor(std::min({a[2], b[2], c[2]}) * res));
+    int z1 = clampi((int)std::floor(std::max({a[2], b[2], c[2]}) * res));
+    for (int x = x0; x <= x1; ++x)
+      for (int y = y0; y <= y1; ++y)
+        for (int z = z0; z <= z1; ++z)
+          out_occ[((size_t)x * res + y) * res + z] = 1;
+  }
+  return 0;
+}
+
+}  // extern "C"

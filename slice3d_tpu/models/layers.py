@@ -95,6 +95,11 @@ class TransformerEncoderLayer(nn.Module):
     d_model: int = 128
     n_heads: int = 4
     d_ff: int = 2048
+    # Keep only the first `head_tokens` tokens after attention (the rest are
+    # dropped BEFORE the expensive FFN).  Exact when later computation reads
+    # only those tokens — the SDF head reads token 0 of the last layer, so
+    # its final layer runs the 16x-expansion FFN on 1/13th of the tokens.
+    head_tokens: int = 0  # 0 = keep all
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -110,6 +115,9 @@ class TransformerEncoderLayer(nn.Module):
             t = t.reshape(t.shape[:-1] + (h, dh))
             return jnp.swapaxes(t, -2, -3)
 
+        if self.head_tokens:
+            q = q[..., : self.head_tokens, :]
+            x = x[..., : self.head_tokens, :]
         q, k, v = heads(q), heads(k), heads(v)
         scale = 1.0 / jnp.sqrt(jnp.asarray(dh, dtype=jnp.float32))
         logits = jnp.einsum("...td,...sd->...ts", q, k).astype(jnp.float32) * scale
@@ -134,15 +142,18 @@ class TransformerEncoder(nn.Module):
     d_model: int = 128
     n_heads: int = 4
     d_ff: int = 2048
+    final_head_tokens: int = 0  # trim tokens entering the last layer's FFN
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.num_layers):
+            last = i + 1 == self.num_layers
             x = TransformerEncoderLayer(
                 d_model=self.d_model,
                 n_heads=self.n_heads,
                 d_ff=self.d_ff,
+                head_tokens=self.final_head_tokens if last else 0,
                 dtype=self.dtype,
                 name=f"layer{i}",
             )(x)

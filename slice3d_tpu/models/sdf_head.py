@@ -99,10 +99,13 @@ class SDFTransformerHead(nn.Module):
                              dtype=self.dtype, name="fc_local")(local_feats)
 
         tokens = jnp.concatenate([feat_qry[:, :, None, :], feat_slice], axis=2)
+        # Only token 0 is read below, so the last layer's 16x-expansion FFN
+        # runs on just that token — identical output, ~30% fewer head FLOPs.
         tokens = TransformerEncoder(
             num_layers=self.n_layers,
             d_model=self.d_model,
             n_heads=self.n_heads,
+            final_head_tokens=1,
             dtype=self.dtype,
             name="att_decoder",
         )(tokens)

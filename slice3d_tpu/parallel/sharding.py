@@ -42,6 +42,18 @@ def shard_params_fsdp(params, mesh: Mesh, min_size: int = 2 ** 16):
 
 
 def put_batch(batch, mesh: Mesh):
-    """Device-put a host batch dict with leading-axis data sharding."""
-    sharding = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    """Device-put a host batch dict with leading-axis data sharding.
+
+    Leaves whose batch axis is not divisible by the data-axis size are
+    replicated instead (small eval batches, odd remainders).
+    """
+    n_data = mesh.shape["data"]
+    data_sh = batch_sharding(mesh)
+    repl = replicate(mesh)
+
+    def put(x):
+        shape = getattr(x, "shape", ())
+        ok = len(shape) > 0 and shape[0] % n_data == 0
+        return jax.device_put(x, data_sh if ok else repl)
+
+    return jax.tree_util.tree_map(put, batch)

@@ -44,9 +44,11 @@ class Reconstructor:
         threshold: float = 0.5,
         chunk_size: int = 65536,
         box_size: float = 1.0,
+        simplify_nfaces: int = 0,
     ):
         self.model = model
         self.variables = variables
+        self.simplify_nfaces = simplify_nfaces
         self.generator = MeshGenerator(
             resolution0=resolution0,
             upsampling_steps=upsampling_steps,
@@ -97,7 +99,16 @@ class Reconstructor:
             out = self._query(self.variables, pyramids, jnp.asarray(pts), trans_tp)
             return np.asarray(out)
 
-        return self.generator.generate(evaluator)
+        mesh, stats = self.generator.generate(evaluator)
+        if self.simplify_nfaces and not mesh.is_empty:
+            import time
+
+            from .mesh import simplify_mesh
+
+            t0 = time.perf_counter()
+            mesh = simplify_mesh(mesh, self.simplify_nfaces)
+            stats["time_simplify"] = time.perf_counter() - t0
+        return mesh, stats
 
     def predicted_slices(self, img_input: np.ndarray) -> np.ndarray:
         """SliceNet only: (S, H, W, 3) predicted slice images in [-1, 1]."""

@@ -29,7 +29,10 @@ def _to_host(tree):
 def save_checkpoint(path: str, state: Dict[str, Any]) -> str:
     """Serialize a pytree state dict to ``path`` (single msgpack file)."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    payload = serialization.msgpack_serialize(_to_host(state))
+    # to_state_dict flattens optimizer NamedTuples etc. into plain dicts
+    payload = serialization.msgpack_serialize(
+        _to_host(serialization.to_state_dict(state))
+    )
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(payload)

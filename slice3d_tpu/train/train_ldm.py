@@ -1,0 +1,293 @@
+"""LDM training + sampling driver (gen_slices main.py semantics).
+
+Training (reference ddpm.py:343-365, 971-983): per step, the frozen kl-f8
+VAE encodes the 13-image stack (gradients stopped), the 12 slice latents
+tile into the 4x64x64 atlas, the trainable cond stage encodes the input
+view, and the UNet learns eps-prediction under L1 with EMA tracking and the
+std-rescaling factor computed once from the first batch
+(scale_by_std, ddpm.py:571-586).  Optimizer AdamW over UNet + cond stage
+(ddpm.py:1420-1442), lr = accumulate * ndev * bs * base_lr when scale_lr.
+
+Everything per-step runs as one jit program over the (data, model) mesh.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct, traverse_util
+
+from ..data.ldm_data import LDMSliceDataset
+from ..data.pipeline import BatchLoader
+from ..diffusion.latent import LatentDiffusion, p_losses
+from ..diffusion.schedule import DDIMParams, DiffusionSchedule
+from ..diffusion.ddim import ddim_sample
+from ..models.ema import ema_update
+from ..parallel import create_mesh, put_batch
+from .checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+
+__all__ = ["LDMTrainState", "LDMTrainer"]
+
+
+class LDMTrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Any
+    scale_factor: jnp.ndarray
+    logvar: jnp.ndarray
+
+
+def _trainable_mask(params) -> Any:
+    flat = traverse_util.flatten_dict(params)
+    mask = {k: (k[0] != "first_stage") for k in flat}
+    return traverse_util.unflatten_dict(mask)
+
+
+class LDMTrainer:
+    def __init__(
+        self,
+        *,
+        img_size: int = 128,
+        batch_size: int = 8,
+        base_lr: float = 5e-5,
+        scale_lr: bool = True,
+        timesteps: int = 1000,
+        linear_start: float = 0.0015,
+        linear_end: float = 0.0155,
+        loss_type: str = "l1",
+        use_ema: bool = True,
+        scale_by_std: bool = True,
+        accumulate: int = 1,
+        module: Optional[LatentDiffusion] = None,
+    ):
+        self.module = module if module is not None else LatentDiffusion(
+            timesteps=timesteps, linear_start=linear_start, linear_end=linear_end,
+            loss_type=loss_type, train_bn=False,
+            latent_size=img_size // 8,
+        )
+        self.schedule = DiffusionSchedule.create(
+            timesteps, "linear", linear_start, linear_end
+        )
+        self.img_size = img_size
+        self.batch_size = batch_size
+        self.use_ema = use_ema
+        self.scale_by_std = scale_by_std
+        self.loss_type = loss_type
+        ndev = max(jax.device_count(), 1)
+        self.lr = (accumulate * ndev * batch_size * base_lr) if scale_lr else base_lr
+        self.tx = optax.masked(optax.adamw(self.lr), _trainable_mask)
+        self.mesh = create_mesh()
+        self._train_step = jax.jit(self._step_impl, donate_argnums=(0,))
+        self._compute_scale = jax.jit(self._scale_impl)
+
+    # -- init ---------------------------------------------------------------
+
+    def init_state(self, seed: int = 0) -> LDMTrainState:
+        rng = jax.random.PRNGKey(seed)
+        s = self.img_size
+        f = self.module.downscale
+        images = jnp.zeros((1, 13, s, s, 3), jnp.float32)
+        x = jnp.zeros((1, (s // f) * 4, (s // f) * 4, 4), jnp.float32)
+        t = jnp.zeros((1,), jnp.int32)
+        img = jnp.zeros((1, s, s, 3), jnp.float32)
+        z13 = jnp.zeros((1, 13, s // f, s // f, 4), jnp.float32)
+
+        def init_all(module):
+            cond = module.build_cond(z13, img, jnp.float32(1.0))
+            out = module.apply_model(x, t, cond)
+            module.encode_images(images, jax.random.PRNGKey(0))
+            module.decode_tiles(z13[:, :1])  # create decoder params too
+            return out
+
+        variables = nn_init_helper(self.module, rng, init_all)
+        params = variables["params"]
+        stats = variables.get("batch_stats", {})
+        return LDMTrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=stats,
+            opt_state=self.tx.init(params),
+            # copy (not alias) params so buffer donation stays sound
+            ema_params=jax.tree_util.tree_map(
+                jnp.array, _trainable_subtree(params)
+            ) if self.use_ema else {},
+            scale_factor=jnp.float32(1.0),
+            logvar=jnp.zeros((self.schedule.num_timesteps,), jnp.float32),
+        )
+
+    # -- steps ----------------------------------------------------------------
+
+    def _scale_impl(self, state: LDMTrainState, batch, rng):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        z = self.module.apply(
+            variables, batch["image"], rng, True,
+            method=LatentDiffusion.encode_images,
+        )
+        return 1.0 / jnp.std(z)
+
+    def maybe_set_scale(self, state: LDMTrainState, batch) -> LDMTrainState:
+        if not self.scale_by_std or int(state.step) > 0:
+            return state
+        scale = self._compute_scale(state, put_batch(batch, self.mesh),
+                                    jax.random.PRNGKey(0))
+        print(f"### USING STD-RESCALING: scale_factor = {float(scale):.6f} ###")
+        return state.replace(scale_factor=scale)
+
+    def _step_impl(self, state: LDMTrainState, batch, rng):
+        rng_enc, rng_loss = jax.random.split(rng)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            z13 = self.module.apply(
+                variables, batch["image"], rng_enc, True,
+                method=LatentDiffusion.encode_images,
+            )
+            z13 = jax.lax.stop_gradient(z13)
+            cond = self.module.apply(
+                variables, z13, batch["img_ipt_view"], state.scale_factor,
+                method=LatentDiffusion.build_cond,
+            )
+            atlas = self.module.apply(
+                variables, z13, state.scale_factor,
+                method=LatentDiffusion.make_atlas,
+            )
+            loss, logs = p_losses(
+                self.module, variables, self.schedule, rng_loss, atlas, cond,
+                logvar=state.logvar, loss_type=self.loss_type,
+            )
+            return loss, logs
+
+        (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if self.use_ema:
+            new_ema = ema_update(
+                state.ema_params, _trainable_subtree(new_params), state.step
+            )
+        return (
+            state.replace(
+                step=state.step + 1, params=new_params,
+                opt_state=new_opt, ema_params=new_ema,
+            ),
+            logs,
+        )
+
+    def train_step(self, state: LDMTrainState, batch, rng):
+        return self._train_step(state, put_batch(batch, self.mesh), rng)
+
+    # -- sampling ---------------------------------------------------------------
+
+    def sample_slices(
+        self,
+        state: LDMTrainState,
+        batch: Dict[str, np.ndarray],
+        *,
+        ddim_steps: int = 200,
+        eta: float = 1.0,
+        rng: Optional[jax.Array] = None,
+        use_ema: bool = True,
+    ) -> np.ndarray:
+        """Input views -> generated slice images (B, 12, H, W, 3) in [-1,1]."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        params = state.params
+        if use_ema and self.use_ema:
+            params = _merge_trainable(params, state.ema_params)
+        variables = {"params": params, "batch_stats": state.batch_stats}
+
+        images = jnp.asarray(batch["image"])
+        ipt = jnp.asarray(batch["img_ipt_view"])
+        rng, rng_enc = jax.random.split(rng)
+        z13 = self.module.apply(
+            variables, images, rng_enc, True, method=LatentDiffusion.encode_images
+        )
+        cond = self.module.apply(
+            variables, z13, ipt, state.scale_factor,
+            method=LatentDiffusion.build_cond,
+        )
+        ddim = DDIMParams.create(self.schedule, ddim_steps, eta)
+        b = images.shape[0]
+        h = (self.img_size // self.module.downscale) * 4
+
+        def eps_fn(x, t):
+            return self.module.apply(
+                variables, x, t, cond, method=LatentDiffusion.apply_model
+            )
+
+        atlas = ddim_sample(eps_fn, ddim, rng, (b, h, h, 4))
+        imgs = self.module.apply(
+            variables, atlas, state.scale_factor,
+            method=LatentDiffusion.decode_atlas_images,
+        )
+        return np.asarray(imgs[:, :12])
+
+    def reconstruct_slices(self, state: LDMTrainState, batch,
+                           rng: Optional[jax.Array] = None) -> np.ndarray:
+        """VAE round trip of GT slices (B, 12, H, W, 3) — the gt_rec path."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        z13 = self.module.apply(
+            variables, jnp.asarray(batch["image"]), rng, True,
+            method=LatentDiffusion.encode_images,
+        )
+        imgs = self.module.apply(
+            variables, z13[:, :12], method=LatentDiffusion.decode_tiles
+        )
+        return np.asarray(imgs)
+
+    # -- checkpoint ---------------------------------------------------------------
+
+    def save(self, state: LDMTrainState, path: str) -> str:
+        return save_checkpoint(path, {
+            "variables": {"params": state.params, "batch_stats": state.batch_stats},
+            "opt_state": state.opt_state,
+            "ema_params": state.ema_params,
+            "scale_factor": state.scale_factor,
+            "logvar": state.logvar,
+            "step": int(state.step),
+        })
+
+    def restore(self, state: LDMTrainState, path: str) -> LDMTrainState:
+        target = {
+            "variables": {"params": state.params, "batch_stats": state.batch_stats},
+            "opt_state": state.opt_state,
+            "ema_params": state.ema_params,
+            "scale_factor": state.scale_factor,
+            "logvar": state.logvar,
+            "step": 0,
+        }
+        payload = restore_checkpoint(path, target)
+        return state.replace(
+            params=payload["variables"]["params"],
+            batch_stats=payload["variables"]["batch_stats"],
+            opt_state=payload["opt_state"],
+            ema_params=payload["ema_params"],
+            scale_factor=jnp.asarray(payload["scale_factor"]),
+            logvar=jnp.asarray(payload["logvar"]),
+            step=jnp.asarray(payload["step"], jnp.int32),
+        )
+
+
+def _trainable_subtree(params):
+    return {k: v for k, v in params.items() if k != "first_stage"}
+
+
+def _merge_trainable(params, trainable):
+    out = dict(params)
+    out.update(trainable)
+    return out
+
+
+def nn_init_helper(module, rng, fn):
+    """Initialize a module by running ``fn(module)`` under nn.init."""
+    import flax.linen as nn
+
+    return nn.init(fn, module)({"params": rng})

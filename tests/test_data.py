@@ -51,6 +51,19 @@ def test_batch_loader(root):
     assert b["img_slices"].shape == (2, 12, 16, 16, 3)
 
 
+def test_batch_loader_propagates_worker_errors(root):
+    class Broken:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            raise ValueError("boom")
+
+    loader = BatchLoader(Broken(), batch_size=2, num_workers=2)
+    with pytest.raises(ValueError, match="boom"):
+        next(iter(loader))
+
+
 def test_single_image_dataset(tmp_path):
     from PIL import Image
 

@@ -1,0 +1,73 @@
+"""Eval metric tests (device NN distances vs scipy, OBJ IO)."""
+
+import numpy as np
+import pytest
+
+from slice3d_tpu.eval.metrics import (
+    chamfer_metrics,
+    hausdorff_distance,
+    nn_distances,
+    occupancy_iou,
+    sample_mesh_surface,
+)
+
+
+def test_nn_distances_vs_scipy():
+    from scipy.spatial import cKDTree
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(500, 3)).astype(np.float32)
+    b = rng.normal(size=(700, 3)).astype(np.float32)
+    ours = nn_distances(a, b)
+    ref, _ = cKDTree(b).query(a, k=1)
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_chamfer_identical_is_zero():
+    rng = np.random.default_rng(1)
+    pts = rng.normal(size=(300, 3)).astype(np.float32)
+    m = chamfer_metrics(pts, pts)
+    assert m["chamfer_l1"] < 1e-5
+    assert m["fscore"] == 1.0
+
+
+def test_chamfer_shifted():
+    rng = np.random.default_rng(2)
+    pts = rng.uniform(size=(2000, 3)).astype(np.float32)
+    shifted = pts + np.array([0.05, 0, 0], np.float32)
+    m = chamfer_metrics(pts, shifted, f_threshold=0.01)
+    assert abs(m["chamfer_l1"] - 0.05) < 0.01
+    assert m["fscore"] < 0.5
+    assert abs(hausdorff_distance(pts, shifted) - 0.05) < 0.02
+
+
+def test_occupancy_iou_basic():
+    a = np.array([1, 1, 0, 0], bool)
+    b = np.array([1, 0, 1, 0], bool)
+    assert occupancy_iou(a, b) == pytest.approx(1 / 3)
+    assert occupancy_iou(np.zeros(4, bool), np.zeros(4, bool)) == 1.0
+
+
+def test_surface_sampling_on_triangle():
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    faces = np.array([[0, 1, 2]], np.int64)
+    pts = sample_mesh_surface(verts, faces, 500)
+    assert pts.shape == (500, 3)
+    np.testing.assert_array_equal(pts[:, 2], 0)
+    assert (pts[:, 0] + pts[:, 1] <= 1 + 1e-6).all()
+    assert (pts >= -1e-6).all()
+
+
+def test_obj_roundtrip(tmp_path):
+    from eval import load_obj
+    from slice3d_tpu.mesh import Mesh, export_obj
+
+    mesh = Mesh(
+        vertices=np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32),
+        faces=np.array([[0, 1, 2]], np.int64),
+    )
+    path = str(tmp_path / "m.obj")
+    export_obj(mesh, path)
+    back = load_obj(path)
+    np.testing.assert_allclose(back.vertices, mesh.vertices, atol=1e-5)
+    np.testing.assert_array_equal(back.faces, mesh.faces)

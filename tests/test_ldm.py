@@ -1,0 +1,88 @@
+"""LDM stack smoke tests on a tiny configuration (fast on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from slice3d_tpu.diffusion.latent import LatentDiffusion
+from slice3d_tpu.train.train_ldm import LDMTrainer
+
+
+IMG = 16
+
+
+def tiny_module():
+    return LatentDiffusion(
+        timesteps=20,
+        vae_ch=32, vae_mult=(1, 2), vae_nres=1,
+        unet_channels=32, unet_mult=(1, 2), unet_nres=1,
+        unet_attention_ds=(2,),
+        unet_inject_blocks=(0, 3),
+        cond_widths=(32, 64),
+        latent_size=IMG // 2,
+    )
+
+
+@pytest.fixture(scope="module")
+def trainer():
+    return LDMTrainer(img_size=IMG, batch_size=2, timesteps=20, module=tiny_module())
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(0)
+    return {
+        "image": rng.normal(size=(2, 13, IMG, IMG, 3)).astype(np.float32).clip(-1, 1),
+        "img_ipt_view": rng.normal(size=(2, IMG, IMG, 3)).astype(np.float32).clip(-1, 1),
+    }
+
+
+def test_train_step_updates_only_trainable(trainer, batch):
+    state = trainer.init_state()
+    state = trainer.maybe_set_scale(state, batch)
+    assert float(state.scale_factor) != 1.0
+
+    # copy everything we compare BEFORE the step: the train step donates
+    # its input state, so those buffers are gone afterwards
+    before_vae = np.asarray(jax.tree_util.tree_leaves(state.params["first_stage"])[0]).copy()
+    before_unet = np.asarray(state.params["model"]["input_0_0"]["kernel"]).copy()
+    ema0 = np.asarray(state.ema_params["model"]["input_0_0"]["kernel"]).copy()
+
+    state2, logs = trainer.train_step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(logs["loss"]))
+    assert int(state2.step) == 1
+
+    after_vae = jax.tree_util.tree_leaves(state2.params["first_stage"])[0]
+    np.testing.assert_array_equal(np.asarray(after_vae), np.asarray(before_vae))
+    after_unet = np.asarray(state2.params["model"]["input_0_0"]["kernel"])
+    assert np.abs(after_unet - before_unet).max() > 0
+
+    # EMA drifted toward new params but isn't equal to old
+    ema1 = np.asarray(state2.ema_params["model"]["input_0_0"]["kernel"])
+    assert np.abs(ema1 - ema0).max() > 0
+
+
+def test_sample_and_reconstruct_shapes(trainer, batch):
+    state = trainer.init_state()
+    gen = trainer.sample_slices(state, batch, ddim_steps=4, eta=1.0)
+    assert gen.shape == (2, 12, IMG, IMG, 3)
+    assert np.isfinite(gen).all()
+
+    rec = trainer.reconstruct_slices(state, batch)
+    assert rec.shape == (2, 12, IMG, IMG, 3)
+    assert np.isfinite(rec).all()
+
+
+def test_checkpoint_roundtrip(tmp_path, trainer, batch):
+    state = trainer.init_state()
+    state, _ = trainer.train_step(state, batch, jax.random.PRNGKey(1))
+    path = str(tmp_path / "ldm.ckpt")
+    trainer.save(state, path)
+    restored = trainer.restore(trainer.init_state(), path)
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["model"]["input_0_0"]["kernel"]),
+        np.asarray(state.params["model"]["input_0_0"]["kernel"]),
+    )
+    assert int(restored.step) == int(state.step)

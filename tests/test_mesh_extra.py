@@ -1,0 +1,74 @@
+"""Tests for simplification, point-in-mesh, and voxelization kernels."""
+
+import numpy as np
+
+from slice3d_tpu.mesh import (
+    isosurface,
+    points_inside_mesh,
+    simplify_mesh,
+    voxelize_mesh,
+)
+
+
+def sphere_mesh(n=32, radius=0.35):
+    lin = np.linspace(-0.5, 0.5, n, dtype=np.float32)
+    x, y, z = np.meshgrid(lin, lin, lin, indexing="ij")
+    grid = radius - np.sqrt(x * x + y * y + z * z)
+    mesh = isosurface(grid, 0.0)
+    mesh.vertices = (mesh.vertices / (n - 1) - 0.5).astype(np.float32)
+    return mesh
+
+
+def test_simplify_reduces_faces_keeps_shape():
+    mesh = sphere_mesh()
+    target = len(mesh.faces) // 8
+    simp = simplify_mesh(mesh, target)
+    assert len(simp.faces) <= target * 1.2
+    assert len(simp.faces) > 0
+    r = np.linalg.norm(simp.vertices, axis=1)
+    # simplified sphere stays near the sphere
+    assert abs(np.median(r) - 0.35) < 0.02
+    assert r.max() < 0.45 and r.min() > 0.2
+    # volume preserved up to the inherent deficit of a coarse polyhedron
+    tris = simp.vertices[simp.faces]
+    vol = abs(np.einsum("ij,ij->i", tris[:, 0], np.cross(tris[:, 1], tris[:, 2])).sum() / 6)
+    expect = 4 / 3 * np.pi * 0.35 ** 3
+    assert abs(vol - expect) / expect < 0.15
+
+
+def test_points_inside_sphere():
+    mesh = sphere_mesh()
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-0.5, 0.5, size=(2000, 3)).astype(np.float32)
+    inside = points_inside_mesh(mesh, pts)
+    r = np.linalg.norm(pts, axis=1)
+    expect = r < 0.35
+    # allow a thin shell of ambiguity near the surface
+    confident = np.abs(r - 0.35) > 0.03
+    agree = (inside == expect)[confident].mean()
+    assert agree > 0.995
+
+
+def test_iou_of_identical_spheres_is_one():
+    from slice3d_tpu.eval.metrics import occupancy_iou
+
+    mesh = sphere_mesh()
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(-0.5, 0.5, size=(1000, 3)).astype(np.float32)
+    a = points_inside_mesh(mesh, pts)
+    assert occupancy_iou(a, a) == 1.0
+
+
+def test_voxelize_sphere_shell():
+    mesh = sphere_mesh()
+    # map vertices from [-0.5, 0.5] to [0, 1]
+    mesh.vertices = mesh.vertices + 0.5
+    occ = voxelize_mesh(mesh, 24)
+    assert occ.any()
+    # center voxel is not on the surface shell
+    assert not occ[12, 12, 12]
+    # occupied voxels lie near radius 0.35
+    idx = np.argwhere(occ)
+    centers = (idx + 0.5) / 24 - 0.5
+    r = np.linalg.norm(centers, axis=1)
+    assert (np.abs(r - 0.35) < 0.08).mean() > 0.95

@@ -120,6 +120,138 @@ class TorchGTSliceRef(nn.Module):
         return self.fc_out(out).view(b, m)
 
 
+# ---------------------------------------------------------------------------
+# Compact torch twin of the CompVis kl-f8 VAE (state-dict compatible with
+# the reference AutoencoderKL) for converter/numeric parity tests.
+
+
+class TRes(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.norm1 = nn.GroupNorm(32, cin, eps=1e-6)
+        self.conv1 = nn.Conv2d(cin, cout, 3, padding=1)
+        self.norm2 = nn.GroupNorm(32, cout, eps=1e-6)
+        self.conv2 = nn.Conv2d(cout, cout, 3, padding=1)
+        self.has_short = cin != cout
+        if self.has_short:
+            self.nin_shortcut = nn.Conv2d(cin, cout, 1)
+
+    def forward(self, x):
+        h = torch.nn.functional.silu(self.norm1(x))
+        h = self.conv1(h)
+        h = torch.nn.functional.silu(self.norm2(h))
+        h = self.conv2(h)
+        if self.has_short:
+            x = self.nin_shortcut(x)
+        return x + h
+
+
+class TAttn(nn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.norm = nn.GroupNorm(32, c, eps=1e-6)
+        self.q = nn.Conv2d(c, c, 1)
+        self.k = nn.Conv2d(c, c, 1)
+        self.v = nn.Conv2d(c, c, 1)
+        self.proj_out = nn.Conv2d(c, c, 1)
+
+    def forward(self, x):
+        b, c, h, w = x.shape
+        hn = self.norm(x)
+        q = self.q(hn).reshape(b, c, h * w).permute(0, 2, 1)
+        k = self.k(hn).reshape(b, c, h * w)
+        v = self.v(hn).reshape(b, c, h * w)
+        att = torch.softmax(torch.bmm(q, k) * c ** -0.5, dim=2)
+        out = torch.bmm(v, att.permute(0, 2, 1)).reshape(b, c, h, w)
+        return x + self.proj_out(out)
+
+
+class _Holder(nn.Module):
+    pass
+
+
+class TVAEEncoder(nn.Module):
+    def __init__(self, ch=32, ch_mult=(1, 2), nres=1, z=4):
+        super().__init__()
+        self.conv_in = nn.Conv2d(3, ch, 3, padding=1)
+        self.down = nn.ModuleList()
+        cin = ch
+        for i, m in enumerate(ch_mult):
+            lvl = _Holder()
+            lvl.block = nn.ModuleList()
+            for _ in range(nres):
+                lvl.block.append(TRes(cin, ch * m))
+                cin = ch * m
+            if i + 1 < len(ch_mult):
+                lvl.downsample = _Holder()
+                lvl.downsample.conv = nn.Conv2d(cin, cin, 3, stride=2)
+            self.down.append(lvl)
+        self.mid = _Holder()
+        self.mid.block_1 = TRes(cin, cin)
+        self.mid.attn_1 = TAttn(cin)
+        self.mid.block_2 = TRes(cin, cin)
+        self.norm_out = nn.GroupNorm(32, cin, eps=1e-6)
+        self.conv_out = nn.Conv2d(cin, 2 * z, 3, padding=1)
+
+    def forward(self, x):
+        h = self.conv_in(x)
+        for i, lvl in enumerate(self.down):
+            for blk in lvl.block:
+                h = blk(h)
+            if hasattr(lvl, "downsample"):
+                h = torch.nn.functional.pad(h, (0, 1, 0, 1))
+                h = lvl.downsample.conv(h)
+        h = self.mid.block_2(self.mid.attn_1(self.mid.block_1(h)))
+        h = torch.nn.functional.silu(self.norm_out(h))
+        return self.conv_out(h)
+
+
+class TVAEDecoder(nn.Module):
+    def __init__(self, ch=32, ch_mult=(1, 2), nres=1, z=4):
+        super().__init__()
+        cin = ch * ch_mult[-1]
+        self.conv_in = nn.Conv2d(z, cin, 3, padding=1)
+        self.mid = _Holder()
+        self.mid.block_1 = TRes(cin, cin)
+        self.mid.attn_1 = TAttn(cin)
+        self.mid.block_2 = TRes(cin, cin)
+        self.up = nn.ModuleList([_Holder() for _ in ch_mult])
+        for i in reversed(range(len(ch_mult))):
+            lvl = self.up[i]
+            lvl.block = nn.ModuleList()
+            cout = ch * ch_mult[i]
+            for _ in range(nres + 1):
+                lvl.block.append(TRes(cin, cout))
+                cin = cout
+            if i > 0:
+                lvl.upsample = _Holder()
+                lvl.upsample.conv = nn.Conv2d(cout, cout, 3, padding=1)
+        self.norm_out = nn.GroupNorm(32, ch * ch_mult[0], eps=1e-6)
+        self.conv_out = nn.Conv2d(ch * ch_mult[0], 3, 3, padding=1)
+
+    def forward(self, z):
+        h = self.conv_in(z)
+        h = self.mid.block_2(self.mid.attn_1(self.mid.block_1(h)))
+        for i in reversed(range(len(self.up))):
+            lvl = self.up[i]
+            for blk in lvl.block:
+                h = blk(h)
+            if hasattr(lvl, "upsample"):
+                h = torch.nn.functional.interpolate(h, scale_factor=2, mode="nearest")
+                h = lvl.upsample.conv(h)
+        h = torch.nn.functional.silu(self.norm_out(h))
+        return self.conv_out(h)
+
+
+class TVAE(nn.Module):
+    def __init__(self, ch=32, ch_mult=(1, 2), nres=1, z=4):
+        super().__init__()
+        self.encoder = TVAEEncoder(ch, ch_mult, nres, z)
+        self.decoder = TVAEDecoder(ch, ch_mult, nres, z)
+        self.quant_conv = nn.Conv2d(2 * z, 2 * z, 1)
+        self.post_quant_conv = nn.Conv2d(z, z, 1)
+
+
 def randomize_bn_stats(module, seed=0):
     """Give BN layers non-trivial running stats so parity tests catch
     mean/var mix-ups (fresh BN stats are 0/1 which would hide bugs)."""
