@@ -191,27 +191,43 @@ def main(argv=None):
         yaml.safe_dump(cfg, f)
 
     if args.train:
+        # SIGUSR1 -> emergency checkpoint; any exception also checkpoints
+        # (reference main.py:704-729 melk/divein semantics).
+        import signal
+
+        want_ckpt = {"flag": False}
+        try:
+            signal.signal(signal.SIGUSR1, lambda *_: want_ckpt.update(flag=True))
+        except (ValueError, OSError):
+            pass
+
         ds = build_dataset(cfg, "train", img_size, args.data_root)
         loader = BatchLoader(ds, bs, shuffle=True, num_workers=4)
         rng = jax.random.PRNGKey(args.seed)
         t0 = time.time()
         step = int(state.step)
-        while True:
-            for batch in loader:
-                if int(state.step) == 0:
-                    state = trainer.maybe_set_scale(state, batch)
-                rng, sub = jax.random.split(rng)
-                state, logs = trainer.train_step(state, batch, sub)
-                step = int(state.step)
-                if step % 50 == 0:
-                    print(f"step {step}: loss {float(logs['loss']):.5f} "
-                          f"simple {float(logs['loss_simple']):.5f} "
-                          f"({time.time() - t0:.0f}s)")
-                if step % args.ckpt_every == 0:
-                    trainer.save(state, os.path.join(ckpt_dir, "last.ckpt"))
-                if args.max_steps > 0 and step >= args.max_steps:
-                    trainer.save(state, os.path.join(ckpt_dir, "last.ckpt"))
-                    return
+        try:
+            while True:
+                for batch in loader:
+                    if int(state.step) == 0:
+                        state = trainer.maybe_set_scale(state, batch)
+                    rng, sub = jax.random.split(rng)
+                    state, logs = trainer.train_step(state, batch, sub)
+                    step = int(state.step)
+                    if step % 50 == 0:
+                        print(f"step {step}: loss {float(logs['loss']):.5f} "
+                              f"simple {float(logs['loss_simple']):.5f} "
+                              f"({time.time() - t0:.0f}s)")
+                    if step % args.ckpt_every == 0 or want_ckpt["flag"]:
+                        want_ckpt["flag"] = False
+                        trainer.save(state, os.path.join(ckpt_dir, "last.ckpt"))
+                    if args.max_steps > 0 and step >= args.max_steps:
+                        trainer.save(state, os.path.join(ckpt_dir, "last.ckpt"))
+                        return
+        except (Exception, KeyboardInterrupt):
+            trainer.save(state, os.path.join(ckpt_dir, "last.ckpt"))
+            print(f"saved emergency checkpoint at step {step}")
+            raise
     else:
         mode = args.mode or "sample"
         split = "test"

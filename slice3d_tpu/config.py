@@ -63,6 +63,7 @@ class Options:
     overwrite_res: bool = False
     # TPU-specific
     dtype: str = "bfloat16"  # compute dtype on device: bfloat16 | float32
+    vgg19_ckpt: str = ""  # torch vgg19 weights for the perceptual loss
     random_init: bool = False  # run with random weights (benchmarks/smoke)
     dir_experiments: str = "experiments"
 

@@ -426,6 +426,59 @@ def ldm_unet(
     return {"params": params}
 
 
+def disn_model(sd: Mapping) -> Dict:
+    """Reference DISNModel state dict -> DISNModel variables.
+
+    The global head follows vgg16bn_feats_for_disn.py's dropout MLP
+    (classifier Sequential with Linears at 0/3/6).
+    """
+    sd = to_numpy(sd)
+    blocks = [f"img_encoder.{b}" for b in
+              ("conv1_2", "conv2_2", "conv3_3", "conv4_3", "conv5_3", "conv_last")]
+    enc = vgg16bn_backbone_from_ref(sd, blocks)
+    params: Dict = {
+        "img_encoder": enc["params"],
+        "pts_feat_extractor": _mlp_from_sequential(sd, "pts_feat_extractor", (0, 2, 4)),
+        "fc_local": _mlp_from_sequential(sd, "fc_local", (0, 2, 4)),
+        "fc_global": _mlp_from_sequential(sd, "fc_global", (0, 2, 4)),
+    }
+    if "img_encoder.classifier.0.weight" in sd:
+        # dropout-MLP head: Linear(8192,1024) @0, Linear(1024,1024) @3,
+        # Linear(1024, D) @6 — the first consumes a torch-flattened NCHW map
+        gh = {
+            "fc0": nchw_flat_linear_params(sd, "img_encoder.classifier.0", (512, 4, 4)),
+            "fc1": linear_params(sd, "img_encoder.classifier.3"),
+            "fc2": linear_params(sd, "img_encoder.classifier.6"),
+        }
+        params["global_head"] = gh
+    return {"params": params, "batch_stats": {"img_encoder": enc["batch_stats"]}}
+
+
+def camnet_model(sd: Mapping) -> Dict:
+    """Reference CameraNet state dict -> CameraNet variables.
+
+    The torch trunk is `global_features` = the full vgg16_bn features
+    Sequential, so keys carry torchvision's absolute indices.
+    """
+    sd = to_numpy(sd)
+    enc = vgg16bn_backbone(sd, "global_features.0")
+    params: Dict = {
+        "backbone": enc["params"],
+        "fc": nchw_flat_linear_params(sd, "fc", (512, 4, 4)),
+        "branch_ortho6d": {
+            "fc0": linear_params(sd, "branch_ortho6d.0.0"),
+            "fc1": linear_params(sd, "branch_ortho6d.1.0"),
+            "fc2": linear_params(sd, "branch_ortho6d.2.0"),
+        },
+        "branch_dist": {
+            "fc0": linear_params(sd, "branch_dist.0.0"),
+            "fc1": linear_params(sd, "branch_dist.1.0"),
+            "fc2": linear_params(sd, "branch_dist.2.0"),
+        },
+    }
+    return {"params": params, "batch_stats": {"backbone": enc["batch_stats"]}}
+
+
 def cond_image_encoder(sd: Mapping, prefix: str = "cond_stage_model") -> Dict:
     """Reference ImageEncoderVGG16BN -> CondImageEncoder variables."""
     sd = to_numpy(sd)

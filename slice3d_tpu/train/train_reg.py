@@ -208,8 +208,8 @@ class RegressionTrainer:
     def save(self, state: TrainState, dir_ckpt: str, epoch: int,
              metrics: Dict[str, float]) -> str:
         name = (
-            f"{epoch}_{int(state.step)}_{metrics.get('loss_pred', 0):.4}_"
-            f"{metrics.get('acc', 0):.4}_{metrics.get('loss_img', 0):.4}.ckpt"
+            f"{epoch}_{int(state.step)}_{float(metrics.get('loss_pred', 0)):.4}_"
+            f"{float(metrics.get('acc', 0)):.4}_{float(metrics.get('loss_img', 0)):.4}.ckpt"
         )
         payload = {
             "variables": {
@@ -274,7 +274,24 @@ def train(opts: Options, *, max_steps: Optional[int] = None) -> None:
     train_loader = BatchLoader(train_ds, opts.n_bs, shuffle=True, num_workers=opts.n_wk)
     val_loader = BatchLoader(val_ds, opts.n_bs, shuffle=False, num_workers=opts.n_wk)
 
-    trainer = RegressionTrainer(opts, steps_per_epoch=max(len(train_loader), 1))
+    # Frozen VGG19 weights enable the reference's perceptual loss term;
+    # without them training runs the remaining two loss terms.
+    vgg19_params = None
+    if opts.vgg19_ckpt and opts.name_model == "slicenet":
+        import torch
+
+        from ..convert import torch_import
+
+        sd = torch.load(opts.vgg19_ckpt, map_location="cpu", weights_only=False)
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        prefix = "features" if any(k.startswith("features.") for k in sd) else ""
+        vgg19_params = torch_import.vgg19_features(sd, prefix)
+        print(f"loaded VGG19 perceptual weights from {opts.vgg19_ckpt}")
+
+    trainer = RegressionTrainer(
+        opts, vgg19_params=vgg19_params, steps_per_epoch=max(len(train_loader), 1)
+    )
     state = trainer.init_state()
 
     epoch0 = 0
