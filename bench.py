@@ -22,6 +22,10 @@ TARGET_P50_S = 2.0
 def main():
     import jax
 
+    from slice3d_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from slice3d_tpu.config import Options
     from slice3d_tpu.models.build import build_model, init_variables
     from slice3d_tpu.pipeline import Reconstructor
@@ -56,12 +60,15 @@ def main():
     # warmup (compile)
     mesh, stats = recon.reconstruct(feed)
 
+    verbose = os.environ.get("BENCH_VERBOSE", "")
     times = []
     for i in range(repeats):
         feed["img_input"] = rng.normal(size=(128, 128, 3)).astype(np.float32)
         t0 = time.perf_counter()
         mesh, stats = recon.reconstruct(feed)
         times.append(time.perf_counter() - t0)
+        if verbose:
+            print(f"run {i}: {times[-1]:.3f}s {stats}", file=sys.stderr)
 
     p50 = float(np.median(times))
     result = {

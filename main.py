@@ -47,6 +47,7 @@ def get_parser():
     p.add_argument("--mode", type=str, default="", choices=["", "sample", "rec"])
     p.add_argument("--max_steps", type=int, default=-1)
     p.add_argument("--ckpt_every", type=int, default=2000)
+    p.add_argument("--log_images_every", type=int, default=2000)
     p.add_argument("--ddim_steps", type=int, default=200)
     p.add_argument("--ddim_eta", type=float, default=1.0)
     return p
@@ -157,6 +158,9 @@ def write_rec_outputs(logdir, batch_idx, rec):
 
 
 def main(argv=None):
+    from slice3d_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args, unknown = get_parser().parse_known_args(argv)
     cfg = load_config(args.base, unknown)
     scale_lr = str(args.scale_lr).lower() != "false"
@@ -221,6 +225,15 @@ def main(argv=None):
                     if step % args.ckpt_every == 0 or want_ckpt["flag"]:
                         want_ckpt["flag"] = False
                         trainer.save(state, os.path.join(ckpt_dir, "last.ckpt"))
+                    if args.log_images_every > 0 and step % args.log_images_every == 0:
+                        # ImageLogger-style montage: GT slices + VAE recon
+                        img_dir = os.path.join(logdir, "images", "train")
+                        os.makedirs(img_dir, exist_ok=True)
+                        rec = trainer.reconstruct_slices(state, batch)
+                        save_image(to_uint8(slices_to_montage(batch["image"][0, :12])),
+                                   os.path.join(img_dir, f"inputs_gs-{step:06}.png"))
+                        save_image(to_uint8(slices_to_montage(rec[0])),
+                                   os.path.join(img_dir, f"reconstruction_gs-{step:06}.png"))
                     if args.max_steps > 0 and step >= args.max_steps:
                         trainer.save(state, os.path.join(ckpt_dir, "last.ckpt"))
                         return

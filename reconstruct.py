@@ -24,6 +24,10 @@ from slice3d_tpu.pipeline import Reconstructor
 def main(argv=None):
     opts = options_from_args(argv)
 
+    from slice3d_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     # Validate the dataset before any (slow) device compilation.
     dataset = Slice3DDataset(
         opts.dataset_root,

@@ -19,6 +19,10 @@ from slice3d_tpu.pipeline import Reconstructor
 
 def main(argv=None):
     opts = options_from_args(argv)
+
+    from slice3d_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     opts.name_model = "slicenet"
 
     model = build_model(opts)

@@ -127,8 +127,12 @@ class Slice3DDataset:
         for axis, part in SLICE_ORDER:
             img = load_image(os.path.join(vdir, f"{axis}_{part}.png"))
             if generated:
-                # generated slices are already composited RGB at img_size
-                x = np.asarray(img.convert("RGB")).astype(np.float32) / 255.0
+                # generated slices are already composited RGB (resize if the
+                # generation resolution differs from img_size)
+                rgb = img.convert("RGB")
+                if rgb.size != (self.img_size, self.img_size):
+                    rgb = rgb.resize((self.img_size, self.img_size), Image.BILINEAR)
+                x = np.asarray(rgb).astype(np.float32) / 255.0
                 out.append((x - 0.5) / 0.5)
             else:
                 out.append(preprocess_image(img, self.img_size, self.use_white_bg))

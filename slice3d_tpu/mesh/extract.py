@@ -17,8 +17,11 @@ Semantics match MISE's ``resolution0 / upsampling_steps / threshold``
 operating point: the final grid has resolution ``res0 * 2**up_steps`` and
 identical world mapping ``world = box_size * (idx / res - 0.5)``.
 
-The evaluator receives flat float32 (M, 3) arrays and returns (M,) values
-("logits": the pipeline feeds -sdf, reference reconstruct.py:97).
+The evaluator receives flat int32 lattice indices plus the lattice
+resolution and returns (M,) values ("logits": the pipeline feeds -sdf,
+reference reconstruct.py:97).  Indices instead of coordinates cut
+host->device traffic 3x — the device derives ``world = box * (idx/res -
+0.5)`` itself, which matters when the chip sits behind a slow link.
 """
 
 from __future__ import annotations
@@ -33,7 +36,18 @@ from . import Mesh, isosurface
 
 __all__ = ["GridRefiner", "extract_mesh_from_grid", "MeshGenerator"]
 
-Evaluator = Callable[[np.ndarray], np.ndarray]
+# evaluator(flat_lattice_indices int32 (M,), resolution int) -> (M,) values
+Evaluator = Callable[[np.ndarray, int], np.ndarray]
+
+
+def lattice_to_points(idx: np.ndarray, res: int, box_size: float = 1.0) -> np.ndarray:
+    """Flat lattice index on the (res+1)^3 grid -> world coordinates."""
+    n = res + 1
+    z = idx % n
+    y = (idx // n) % n
+    x = idx // (n * n)
+    pts = np.stack([x, y, z], axis=-1).astype(np.float32)
+    return (pts / res - 0.5) * box_size
 
 
 def _upsample2x(grid: np.ndarray) -> np.ndarray:
@@ -97,31 +111,35 @@ class GridRefiner:
     dilate: int = 1
 
     def lattice_points(self, res: int, mask: Optional[np.ndarray] = None) -> np.ndarray:
-        if mask is None:
-            idx = np.stack(
-                np.meshgrid(*([np.arange(res + 1)] * 3), indexing="ij"), axis=-1
-            ).reshape(-1, 3)
-        else:
-            idx = np.argwhere(mask)
-        return (idx.astype(np.float32) / res - 0.5) * self.box_size
+        """World coordinates of lattice points (testing/debug helper)."""
+        idx = self.lattice_indices(res, mask)
+        return lattice_to_points(idx, res, self.box_size)
 
-    def _eval_chunked(self, evaluator: Evaluator, pts: np.ndarray) -> np.ndarray:
-        m = len(pts)
+    def lattice_indices(self, res: int, mask: Optional[np.ndarray] = None) -> np.ndarray:
+        if mask is None:
+            return np.arange((res + 1) ** 3, dtype=np.int32)
+        return np.flatnonzero(mask.reshape(-1)).astype(np.int32)
+
+    def _eval_chunked(self, evaluator: Evaluator, idx: np.ndarray, res: int) -> np.ndarray:
+        m = len(idx)
         if m == 0:
             return np.zeros((0,), np.float32)
         c = self.chunk_size
         n_chunks = math.ceil(m / c)
-        padded = np.zeros((n_chunks * c, 3), np.float32)
-        padded[:m] = pts
-        outs = [np.asarray(evaluator(padded[i * c:(i + 1) * c])) for i in range(n_chunks)]
-        return np.concatenate(outs)[:m].astype(np.float32)
+        padded = np.zeros((n_chunks * c,), np.int32)
+        padded[:m] = idx
+        # Submit every chunk before synchronizing: JAX's async dispatch
+        # overlaps the host->device transfers and kernels; only the final
+        # np.concatenate blocks.
+        outs = [evaluator(padded[i * c:(i + 1) * c], res) for i in range(n_chunks)]
+        return np.concatenate([np.asarray(o) for o in outs])[:m].astype(np.float32)
 
     def build(self, evaluator: Evaluator, stats: Optional[Dict] = None) -> np.ndarray:
         n0 = self.resolution0
-        pts = self.lattice_points(n0)
-        vals = self._eval_chunked(evaluator, pts)
+        idx = self.lattice_indices(n0)
+        vals = self._eval_chunked(evaluator, idx, n0)
         grid = vals.reshape(n0 + 1, n0 + 1, n0 + 1)
-        n_eval = len(pts)
+        n_eval = len(idx)
 
         res = n0
         for _ in range(self.upsampling_steps):
@@ -129,10 +147,10 @@ class GridRefiner:
             mask = _touched_lattice_mask(active)
             grid = _upsample2x(grid)
             res *= 2
-            pts = self.lattice_points(res, mask)
-            vals = self._eval_chunked(evaluator, pts)
-            grid[mask] = vals
-            n_eval += len(pts)
+            idx = self.lattice_indices(res, mask)
+            vals = self._eval_chunked(evaluator, idx, res)
+            grid.reshape(-1)[idx] = vals
+            n_eval += len(idx)
 
         if stats is not None:
             stats["n_points_evaluated"] = n_eval

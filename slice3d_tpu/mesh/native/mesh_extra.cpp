@@ -289,6 +289,25 @@ int s3d_points_inside(const float* verts, int64_t nv, const int64_t* faces,
         buckets[(size_t)by * res + bx].push_back((int)i);
   }
 
+  // Canonically-anchored edge function: for the UNDIRECTED edge {i, j} the
+  // value is computed with the lower vertex index as anchor, so the two
+  // triangles sharing the edge see bit-identical magnitudes.  Together with
+  // a direction-dependent boundary rule this counts each geometric ray
+  // crossing exactly once (no fp double-count on shared edges).
+  auto edge_fn = [&](int64_t i, int64_t j, double px, double py,
+                     double* val) -> int {
+    int sign = 1;
+    if (i > j) {
+      std::swap(i, j);
+      sign = -1;
+    }
+    const float* vi = &verts[3 * i];
+    const float* vj = &verts[3 * j];
+    double ex = (double)vj[0] - vi[0], ey = (double)vj[1] - vi[1];
+    *val = sign * (ex * (py - vi[1]) - ey * (px - vi[0]));
+    return sign;  // +1 when the triangle traverses the canonical direction
+  };
+
   for (int64_t p = 0; p < np; ++p) {
     double px = points[3 * p], py = points[3 * p + 1], pz = points[3 * p + 2];
     if (px < minx || px > maxx || py < miny || py > maxy) {
@@ -297,17 +316,28 @@ int s3d_points_inside(const float* verts, int64_t nv, const int64_t* faces,
     }
     int crossings = 0;
     for (int fi : buckets[bucket_of(px, py)]) {
-      const float* a = &verts[3 * faces[3 * fi]];
-      const float* b = &verts[3 * faces[3 * fi + 1]];
-      const float* c = &verts[3 * faces[3 * fi + 2]];
-      // 2D point-in-triangle (xy projection), then z of intersection
-      double d = (b[1] - c[1]) * (a[0] - c[0]) + (c[0] - b[0]) * (a[1] - c[1]);
-      if (std::fabs(d) < 1e-18) continue;
-      double w0 = ((b[1] - c[1]) * (px - c[0]) + (c[0] - b[0]) * (py - c[1])) / d;
-      double w1 = ((c[1] - a[1]) * (px - c[0]) + (a[0] - c[0]) * (py - c[1])) / d;
-      double w2 = 1.0 - w0 - w1;
-      if (w0 < 0 || w1 < 0 || w2 < 0) continue;
-      double z = w0 * a[2] + w1 * b[2] + w2 * c[2];
+      int64_t i0 = faces[3 * fi], i1 = faces[3 * fi + 1], i2 = faces[3 * fi + 2];
+      double e01, e12, e20;
+      int s01 = edge_fn(i0, i1, px, py, &e01);
+      int s12 = edge_fn(i1, i2, px, py, &e12);
+      int s20 = edge_fn(i2, i0, px, py, &e20);
+      // orientation of the projected triangle
+      const float* a = &verts[3 * i0];
+      const float* b = &verts[3 * i1];
+      const float* c = &verts[3 * i2];
+      double area2 = ((double)b[0] - a[0]) * ((double)c[1] - a[1]) -
+                     ((double)b[1] - a[1]) * ((double)c[0] - a[0]);
+      if (std::fabs(area2) < 1e-30) continue;
+      double o = area2 > 0 ? 1.0 : -1.0;
+      double w01 = o * e01, w12 = o * e12, w20 = o * e20;
+      if (w01 < 0 || w12 < 0 || w20 < 0) continue;
+      // boundary: count only the triangle traversing the canonical edge
+      // forward (w.r.t. its orientation) — exactly one of the two sharers
+      if (w01 == 0 && o * s01 < 0) continue;
+      if (w12 == 0 && o * s12 < 0) continue;
+      if (w20 == 0 && o * s20 < 0) continue;
+      double wsum = w01 + w12 + w20;
+      double z = (w12 * a[2] + w20 * b[2] + w01 * c[2]) / wsum;
       if (z > pz) ++crossings;
     }
     out_inside[p] = (uint8_t)(crossings & 1);

@@ -17,7 +17,12 @@ from typing import Any, Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .sdf_head import SDFTransformerHead, sample_slice_pyramids, prepare_queries
+from .sdf_head import (
+    SDFTransformerHead,
+    prepare_queries,
+    sample_slice_pyramids,
+    sample_slice_pyramids_sum,
+)
 from .vgg import VGG16BNBackbone
 from ..ops import project_points
 
@@ -63,6 +68,16 @@ class GTSliceModel(nn.Module):
         uv = project_points(qry, trans_mat_tp)
         local = sample_slice_pyramids(pyramids, uv, self.n_slices)
         return self.head(qry, local)
+
+    def encode_folded(self, img_slices: jnp.ndarray) -> Sequence[jnp.ndarray]:
+        """Encode + fold the first local layer into the planes (inference)."""
+        return self.head.fold_pyramids(self.encode(img_slices))
+
+    def query_folded(self, folded, qry, trans_mat_tp) -> jnp.ndarray:
+        """Fast query over folded planes — exact, 16x less gather traffic."""
+        uv = project_points(qry, trans_mat_tp)
+        sampled = sample_slice_pyramids_sum(folded, uv, self.n_slices)
+        return self.head.from_folded(qry, sampled)
 
     def __call__(
         self,

@@ -164,17 +164,32 @@ class MLP(nn.Module):
     """Dense stack with ReLU between layers.
 
     ``relu_last`` appends a trailing ReLU (the reference point/feature MLPs
-    end in ReLU; the SDF output head does not).
+    end in ReLU; the SDF output head does not).  ``first_layer`` /
+    ``after_first_layer`` expose the split around the first (pre-activation)
+    Dense so callers can fold it into upstream linear computations.
     """
 
     features: Sequence[int]
     relu_last: bool = True
     dtype: Optional[Dtype] = None
 
-    @nn.compact
-    def __call__(self, x):
-        for i, f in enumerate(self.features):
-            x = nn.Dense(f, dtype=self.dtype, name=f"fc{i}")(x)
-            if i + 1 < len(self.features) or self.relu_last:
+    def setup(self):
+        self.layers = [
+            nn.Dense(f, dtype=self.dtype, name=f"fc{i}")
+            for i, f in enumerate(self.features)
+        ]
+
+    def first_layer(self, x):
+        return self.layers[0](x)
+
+    def after_first_layer(self, x):
+        n = len(self.features)
+        for i in range(1, n + 1):
+            if i < n or self.relu_last:
                 x = nn.relu(x)
+            if i < n:
+                x = self.layers[i](x)
         return x
+
+    def __call__(self, x):
+        return self.after_first_layer(self.first_layer(x))

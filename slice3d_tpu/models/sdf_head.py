@@ -41,6 +41,27 @@ def prepare_queries(qry_norot: jnp.ndarray, obj_rot_mat: Optional[jnp.ndarray], 
     return jnp.einsum("bmi,bij->bmj", qry_norot, obj_rot_mat)
 
 
+def sample_slice_pyramids_sum(
+    planes: Sequence[jnp.ndarray],
+    uv: jnp.ndarray,
+    n_slices: int,
+) -> jnp.ndarray:
+    """Sample folded (equal-width) planes and SUM the levels.
+
+    planes: list of (B * n_slices, h_l, w_l, d); uv: (B, M, 2).
+    Returns (B, M, n_slices, d).  Used by the fast inference path — the sum
+    equals the first local layer applied to the channel-concat.
+    """
+    b, m, _ = uv.shape
+    uv_tiled = jnp.repeat(uv, n_slices, axis=0)
+    total = None
+    for p in planes:
+        s = grid_sample_2d(p, uv_tiled)
+        total = s if total is None else total + s
+    total = total.reshape(b, n_slices, m, total.shape[-1])
+    return jnp.swapaxes(total, 1, 2)
+
+
 def sample_slice_pyramids(
     pyramids: Sequence[jnp.ndarray],
     uv: jnp.ndarray,
@@ -72,6 +93,12 @@ class SDFTransformerHead(nn.Module):
     model a 3-layer ReLU MLP (src/model_gt.py:24-31).  Likewise
     ``local_mlp_features`` is one Linear for SliceNet (fc_s) and a 2-layer
     ReLU MLP for the GT model (fc_local).
+
+    Fast inference path: the first local Linear is *linear*, so it commutes
+    with bilinear interpolation — :meth:`fold_pyramids` pre-multiplies the
+    feature planes by it once per object, and :meth:`from_folded` consumes
+    per-point 128-d sums instead of the (M, S, 992/1472) concat.  Exact
+    (same params, reassociated), and the hot path moves 16x fewer bytes.
     """
 
     d_model: int = 128
@@ -83,34 +110,93 @@ class SDFTransformerHead(nn.Module):
     local_mlp_relu: bool = True
     dtype: Optional[Any] = None
 
-    @nn.compact
-    def __call__(self, qry: jnp.ndarray, local_feats: jnp.ndarray) -> jnp.ndarray:
-        """qry: (B, M, 3); local_feats: (B, M, S, C) -> sdf (B, M)."""
+    def setup(self):
         if len(self.point_mlp_features) == 1:
-            feat_qry = nn.Dense(self.point_mlp_features[0], dtype=self.dtype, name="fc_p")(qry)
+            self.fc_p = nn.Dense(self.point_mlp_features[0], dtype=self.dtype)
         else:
-            feat_qry = MLP(self.point_mlp_features, relu_last=self.point_mlp_relu,
-                           dtype=self.dtype, name="pts_mlp")(qry)
-
+            self.pts_mlp = MLP(self.point_mlp_features, relu_last=self.point_mlp_relu,
+                               dtype=self.dtype)
         if len(self.local_mlp_features) == 1:
-            feat_slice = nn.Dense(self.local_mlp_features[0], dtype=self.dtype, name="fc_s")(local_feats)
+            self.fc_s = nn.Dense(self.local_mlp_features[0], dtype=self.dtype)
         else:
-            feat_slice = MLP(self.local_mlp_features, relu_last=self.local_mlp_relu,
-                             dtype=self.dtype, name="fc_local")(local_feats)
-
-        tokens = jnp.concatenate([feat_qry[:, :, None, :], feat_slice], axis=2)
-        # Only token 0 is read below, so the last layer's 16x-expansion FFN
-        # runs on just that token — identical output, ~30% fewer head FLOPs.
-        tokens = TransformerEncoder(
+            self.fc_local = MLP(self.local_mlp_features, relu_last=self.local_mlp_relu,
+                                dtype=self.dtype)
+        self.att_decoder = TransformerEncoder(
             num_layers=self.n_layers,
             d_model=self.d_model,
             n_heads=self.n_heads,
             final_head_tokens=1,
             dtype=self.dtype,
-            name="att_decoder",
-        )(tokens)
-        sdf = nn.Dense(1, dtype=self.dtype, name="fc_out")(tokens[:, :, 0, :])
+        )
+        self.fc_out = nn.Dense(1, dtype=self.dtype)
+
+    # -- shared pieces ------------------------------------------------------
+
+    def _first_local(self, x):
+        """First layer of the local feature transform (no activation)."""
+        if len(self.local_mlp_features) == 1:
+            return self.fc_s(x)
+        return self.fc_local.first_layer(x)
+
+    def _rest_local(self, x):
+        """Everything after the first local layer."""
+        if len(self.local_mlp_features) == 1:
+            return x  # fc_s has no activation (reference models.py:80)
+        return self.fc_local.after_first_layer(x)
+
+    def _point_feat(self, qry):
+        if len(self.point_mlp_features) == 1:
+            return self.fc_p(qry)
+        return self.pts_mlp(qry)
+
+    def _decode_tokens(self, feat_qry, feat_slice):
+        tokens = jnp.concatenate([feat_qry[:, :, None, :], feat_slice], axis=2)
+        # Only token 0 is read below, so the last layer's 16x-expansion FFN
+        # runs on just that token — identical output, ~30% fewer head FLOPs.
+        tokens = self.att_decoder(tokens)
+        sdf = self.fc_out(tokens[:, :, 0, :])
         return sdf[..., 0].astype(jnp.float32)
+
+    # -- standard path -------------------------------------------------------
+
+    def __call__(self, qry: jnp.ndarray, local_feats: jnp.ndarray) -> jnp.ndarray:
+        """qry: (B, M, 3); local_feats: (B, M, S, C) -> sdf (B, M)."""
+        feat_slice = self._rest_local(self._first_local(local_feats))
+        return self._decode_tokens(self._point_feat(qry), feat_slice)
+
+    # -- folded fast path ------------------------------------------------------
+
+    def fold_pyramids(self, pyramids: Sequence[jnp.ndarray]) -> Sequence[jnp.ndarray]:
+        """Pre-multiply each feature plane by its slice of the first local
+        layer: (N, h, w, c_l) -> (N, h, w, d_model).  One-time per object.
+
+        The layer bias rides on the FIRST level only, so summing the
+        sampled levels reproduces ``W @ concat(levels) + b`` exactly (the
+        model's projected coords are clamped in-range, so the bilinear
+        weights of each sample sum to 1).
+        """
+        total_c = sum(p.shape[-1] for p in pyramids)
+        zeros = jnp.zeros((1, total_c), pyramids[0].dtype)
+        bias = self._first_local(zeros)  # (1, d) = b
+        outs = []
+        offset = 0
+        for i, p in enumerate(pyramids):
+            c = p.shape[-1]
+            before = jnp.zeros(p.shape[:-1] + (offset,), p.dtype)
+            after = jnp.zeros(p.shape[:-1] + (total_c - offset - c,), p.dtype)
+            padded = jnp.concatenate([before, p, after], axis=-1)
+            folded = self._first_local(padded)
+            if i > 0:
+                folded = folded - bias  # keep exactly one bias copy overall
+            outs.append(folded)
+            offset += c
+        return outs
+
+    def from_folded(self, qry: jnp.ndarray, sampled_sum: jnp.ndarray) -> jnp.ndarray:
+        """qry: (B, M, 3); sampled_sum: (B, M, S, d) = per-point sum over
+        levels of folded-plane samples (== first_local(concat(levels)))."""
+        feat_slice = self._rest_local(sampled_sum)
+        return self._decode_tokens(self._point_feat(qry), feat_slice)
 
 
 def decode_sdf(

@@ -61,14 +61,25 @@ class Reconstructor:
 
         @jax.jit
         def encode_fn(variables, imgs):
-            out = model.apply(variables, imgs, method=model.encode)
-            return out if not is_slicenet else out  # (pyramids) or (pyramids, slices)
+            # folded planes: the head's first local Linear is pre-applied so
+            # the per-query path samples 128-ch planes (see sdf_head)
+            return model.apply(variables, imgs, method=model.encode_folded)
 
         @jax.jit
-        def query_fn(variables, pyramids, pts, trans_tp):
+        def query_fn(variables, pyramids, idx, res, trans_tp):
+            # lattice index -> world coords on device (cheap) — the host only
+            # ships int32 indices, 3x less traffic than xyz floats
+            n = res + 1
+            z = idx % n
+            y = (idx // n) % n
+            x = idx // (n * n)
+            pts = jnp.stack([x, y, z], axis=-1).astype(jnp.float32)
+            pts = (pts / res - 0.5) * box_size
             # test-mode canonical->camera mapping: flip y/z (models.py:53-56)
             qry = pts[None] * jnp.array([1.0, -1.0, -1.0], dtype=pts.dtype)
-            sdf = model.apply(variables, pyramids, qry, trans_tp, method=model.query)
+            sdf = model.apply(
+                variables, pyramids, qry, trans_tp, method=model.query_folded
+            )
             return -sdf[0]  # logit convention: inside positive
 
         self._encode = encode_fn
@@ -95,9 +106,13 @@ class Reconstructor:
         else:
             pyramids = self.encode_slices(feed["img_slices"])
 
-        def evaluator(pts: np.ndarray) -> np.ndarray:
-            out = self._query(self.variables, pyramids, jnp.asarray(pts), trans_tp)
-            return np.asarray(out)
+        def evaluator(idx: np.ndarray, res: int):
+            # returns the device array: keeps dispatch asynchronous so the
+            # grid refiner can overlap chunk uploads with device compute
+            return self._query(
+                self.variables, pyramids, jnp.asarray(idx),
+                jnp.int32(res), trans_tp,
+            )
 
         mesh, stats = self.generator.generate(evaluator)
         if self.simplify_nfaces and not mesh.is_empty:

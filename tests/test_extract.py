@@ -10,9 +10,15 @@ from slice3d_tpu.mesh.extract import (
 )
 
 
-def sphere_logits(pts: np.ndarray, radius=0.3) -> np.ndarray:
+def sphere_logits_pts(pts: np.ndarray, radius=0.3) -> np.ndarray:
     # "logit" convention: inside positive (like -sdf)
     return (radius - np.linalg.norm(pts, axis=-1)).astype(np.float32)
+
+
+def sphere_logits(idx: np.ndarray, res: int, radius=0.3) -> np.ndarray:
+    from slice3d_tpu.mesh.extract import lattice_to_points
+
+    return sphere_logits_pts(lattice_to_points(idx, res), radius)
 
 
 def test_upsample2x_linear_field():
@@ -30,9 +36,9 @@ def test_upsample2x_linear_field():
 def test_refiner_matches_dense():
     calls = {"n": 0}
 
-    def ev(pts):
-        calls["n"] += len(pts)
-        return sphere_logits(pts)
+    def ev(idx, res):
+        calls["n"] += len(idx)
+        return sphere_logits(idx, res)
 
     refiner = GridRefiner(resolution0=16, upsampling_steps=2, threshold=0.0, chunk_size=4096)
     grid = refiner.build(ev)
@@ -40,7 +46,7 @@ def test_refiner_matches_dense():
     assert grid.shape == (res + 1,) * 3
 
     dense_pts = refiner.lattice_points(res)
-    dense = sphere_logits(dense_pts).reshape(grid.shape)
+    dense = sphere_logits_pts(dense_pts).reshape(grid.shape)
 
     # Near the iso-surface the refined grid must hold exact values.
     band = np.abs(dense) < 0.5 / res
@@ -52,9 +58,9 @@ def test_refiner_matches_dense():
 def test_refiner_far_fewer_evals_than_dense():
     count = {"n": 0}
 
-    def ev(pts):
-        count["n"] += len(pts)
-        return sphere_logits(pts)
+    def ev(idx, res):
+        count["n"] += len(idx)
+        return sphere_logits(idx, res)
 
     GridRefiner(resolution0=32, upsampling_steps=2, chunk_size=1 << 16).build(ev)
     dense = 129 ** 3

@@ -40,6 +40,23 @@ def test_gtslice_forward_and_split_query(cam):
     np.testing.assert_allclose(np.asarray(sdf), np.asarray(sdf2), atol=1e-5)
 
 
+def test_folded_query_matches_standard(cam):
+    obj_rot, trans = cam
+    model = GTSliceModel(n_slices=4)
+    rng = np.random.default_rng(5)
+    slices = jnp.asarray(rng.normal(size=(1, 4, 32, 32, 3)).astype(np.float32))
+    qry = jnp.asarray(rng.uniform(-0.5, 0.5, size=(1, 24, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(2), slices, qry, trans, obj_rot)
+
+    qry_cam = prepare_queries(qry, obj_rot, test_mode=False)
+    pyr = model.apply(variables, slices, method=GTSliceModel.encode)
+    ref = model.apply(variables, pyr, qry_cam, trans, method=GTSliceModel.query)
+
+    folded = model.apply(variables, slices, method=GTSliceModel.encode_folded)
+    fast = model.apply(variables, folded, qry_cam, trans, method=GTSliceModel.query_folded)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=2e-4, rtol=1e-3)
+
+
 def test_gtslice_test_mode_flips_yz(cam):
     _, trans = cam
     q = jnp.asarray(np.array([[[0.1, 0.2, 0.3]]], np.float32))

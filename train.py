@@ -9,6 +9,9 @@ from slice3d_tpu.train.train_reg import train
 
 
 def main(argv=None):
+    from slice3d_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     opts = options_from_args(argv)
     if opts.name_model == "gtslice":
         raise SystemExit("use train_gt.py for the gtslice model")

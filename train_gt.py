@@ -10,6 +10,9 @@ from slice3d_tpu.train.train_reg import train
 
 
 def main(argv=None):
+    from slice3d_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     opts = options_from_args(argv)
     opts.name_model = "gtslice"
     train(opts)
