@@ -18,7 +18,8 @@ __all__ = ["build_model", "init_variables", "load_model_variables"]
 
 def build_model(opts: Options, *, train: bool = False):
     dtype = jnp.bfloat16 if (opts.dtype == "bfloat16" and not train) else None
-    common = dict(n_slices=opts.n_slices, train_bn=False, dtype=dtype)
+    common = dict(n_slices=opts.n_slices, train_bn=False, dtype=dtype,
+                  fused_ffn=not train)
     if opts.name_model == "slicenet":
         return SliceNetModel(**common)
     if opts.name_model == "gtslice":

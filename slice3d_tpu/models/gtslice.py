@@ -19,9 +19,10 @@ from flax import linen as nn
 
 from .sdf_head import (
     SDFTransformerHead,
+    pack_planes,
     prepare_queries,
+    sample_packed_sum,
     sample_slice_pyramids,
-    sample_slice_pyramids_sum,
 )
 from .vgg import VGG16BNBackbone
 from ..ops import project_points
@@ -33,6 +34,7 @@ class GTSliceModel(nn.Module):
     """12 slice images -> implicit SDF."""
 
     n_slices: int = 12
+    fused_ffn: bool = False
     train_bn: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[Any] = None
@@ -48,6 +50,7 @@ class GTSliceModel(nn.Module):
         self.head = SDFTransformerHead(
             point_mlp_features=(32, 64, 128),
             local_mlp_features=(128, 128),
+            fused_ffn=self.fused_ffn,
             dtype=self.dtype,
             name="head",
         )
@@ -70,13 +73,16 @@ class GTSliceModel(nn.Module):
         return self.head(qry, local)
 
     def encode_folded(self, img_slices: jnp.ndarray) -> Sequence[jnp.ndarray]:
-        """Encode + fold the first local layer into the planes (inference)."""
-        return self.head.fold_pyramids(self.encode(img_slices))
+        """Encode, fold the first local layer into the planes, and pack the
+        slice axis into gather-friendly wide rows (inference)."""
+        folded = self.head.fold_pyramids(self.encode(img_slices))
+        return pack_planes(folded, self.n_slices)
 
-    def query_folded(self, folded, qry, trans_mat_tp) -> jnp.ndarray:
-        """Fast query over folded planes — exact, 16x less gather traffic."""
+    def query_folded(self, packed, qry, trans_mat_tp) -> jnp.ndarray:
+        """Fast query over folded packed planes — exact, far less gather
+        traffic than the training path."""
         uv = project_points(qry, trans_mat_tp)
-        sampled = sample_slice_pyramids_sum(folded, uv, self.n_slices)
+        sampled = sample_packed_sum(packed, uv, self.n_slices)
         return self.head.from_folded(qry, sampled)
 
     def __call__(

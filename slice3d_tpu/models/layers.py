@@ -83,6 +83,23 @@ def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
     return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
 
 
+class DenseParams(nn.Module):
+    """Raw (kernel, bias) parameters with nn.Dense's tree layout and inits —
+    lets callers feed the weights to fused kernels while keeping checkpoint
+    compatibility with a Dense of the same name."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_features, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return kernel, bias
+
+
 class TransformerEncoderLayer(nn.Module):
     """Post-LN transformer encoder layer with torch nn.TransformerEncoderLayer
     defaults: ReLU activation, dim_feedforward=2048, LayerNorm eps=1e-5.
@@ -90,6 +107,8 @@ class TransformerEncoderLayer(nn.Module):
     Input: (..., T, D).  QKV is one fused (D, 3D) matmul for the MXU.
     Dropout is omitted (the reference evaluates with dropout inactive and the
     SDF losses are computed full-batch; training remains well-posed without).
+    ``fused_ffn`` routes the feed-forward through the Pallas VMEM-resident
+    kernel (inference-only; exact same parameters).
     """
 
     d_model: int = 128
@@ -100,6 +119,7 @@ class TransformerEncoderLayer(nn.Module):
     # only those tokens — the SDF head reads token 0 of the last layer, so
     # its final layer runs the 16x-expansion FFN on 1/13th of the tokens.
     head_tokens: int = 0  # 0 = keep all
+    fused_ffn: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -128,9 +148,16 @@ class TransformerEncoderLayer(nn.Module):
         attn = nn.Dense(d, dtype=self.dtype, name="out_proj")(attn)
 
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x + attn)
-        ff = nn.Dense(self.d_ff, dtype=self.dtype, name="ff1")(x)
-        ff = nn.relu(ff)
-        ff = nn.Dense(d, dtype=self.dtype, name="ff2")(ff)
+        k1, b1 = DenseParams(d, self.d_ff, name="ff1")()
+        k2, b2 = DenseParams(self.d_ff, d, name="ff2")()
+        if self.fused_ffn:
+            from ..ops.pallas_ffn import fused_ffn
+
+            ff = fused_ffn(x, k1, b1, k2, b2)
+        else:
+            cd = self.dtype or x.dtype
+            ff = nn.relu(jnp.dot(x.astype(cd), k1.astype(cd)) + b1.astype(cd))
+            ff = jnp.dot(ff, k2.astype(cd)) + b2.astype(cd)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x + ff)
         return x.astype(in_dtype)
 
@@ -143,6 +170,7 @@ class TransformerEncoder(nn.Module):
     n_heads: int = 4
     d_ff: int = 2048
     final_head_tokens: int = 0  # trim tokens entering the last layer's FFN
+    fused_ffn: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -154,6 +182,7 @@ class TransformerEncoder(nn.Module):
                 n_heads=self.n_heads,
                 d_ff=self.d_ff,
                 head_tokens=self.final_head_tokens if last else 0,
+                fused_ffn=self.fused_ffn,
                 dtype=self.dtype,
                 name=f"layer{i}",
             )(x)

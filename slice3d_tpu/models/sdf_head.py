@@ -41,6 +41,67 @@ def prepare_queries(qry_norot: jnp.ndarray, obj_rot_mat: Optional[jnp.ndarray], 
     return jnp.einsum("bmi,bij->bmj", qry_norot, obj_rot_mat)
 
 
+def pack_planes(planes: Sequence[jnp.ndarray], n_slices: int):
+    """(B*S, h, w, d) planes -> [(B, h, w, S*d)] packed for wide-row gathers.
+
+    One gathered row then carries ALL slices' features for a pixel — 12x
+    fewer gather descriptors than per-slice sampling, and the output lands
+    directly in (M, S, d) order (no transpose).  Done once per object.
+    """
+    packed = []
+    for p in planes:
+        bs, h, w, d = p.shape
+        b = bs // n_slices
+        q = p.reshape(b, n_slices, h, w, d)
+        q = jnp.transpose(q, (0, 2, 3, 1, 4))  # (B, h, w, S, d)
+        packed.append(q.reshape(b, h, w, n_slices * d))
+    return packed
+
+
+def sample_packed_sum(
+    packed: Sequence[jnp.ndarray],
+    uv: jnp.ndarray,
+    n_slices: int,
+) -> jnp.ndarray:
+    """Bilinearly sample packed planes at uv and SUM the levels.
+
+    packed: [(B, h, w, S*d)]; uv: (B, M, 2) in [-1, 1] (align_corners=True,
+    zero padding — matching grid_sample_2d).  Returns (B, M, S, d).
+    """
+    b, m, _ = uv.shape
+    x = uv[..., 0].astype(jnp.float32)
+    y = uv[..., 1].astype(jnp.float32)
+
+    total = None
+    for plane in packed:
+        _, h, w, sd = plane.shape
+        flat_plane = plane.reshape(b, h * w, sd)
+        px = (x + 1.0) * 0.5 * (w - 1)
+        py = (y + 1.0) * 0.5 * (h - 1)
+        x0 = jnp.floor(px)
+        y0 = jnp.floor(py)
+        wx = (px - x0).astype(plane.dtype)
+        wy = (py - y0).astype(plane.dtype)
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+
+        def corner(xi, yi, weight):
+            valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+            weight = jnp.where(valid, weight, 0)
+            flat = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+            rows = jnp.take_along_axis(flat_plane, flat[..., None], axis=1)
+            return rows * weight[..., None]
+
+        s = (
+            corner(x0i, y0i, (1 - wx) * (1 - wy))
+            + corner(x0i + 1, y0i, wx * (1 - wy))
+            + corner(x0i, y0i + 1, (1 - wx) * wy)
+            + corner(x0i + 1, y0i + 1, wx * wy)
+        )
+        total = s if total is None else total + s
+    return total.reshape(b, m, n_slices, -1)
+
+
 def sample_slice_pyramids_sum(
     planes: Sequence[jnp.ndarray],
     uv: jnp.ndarray,
@@ -52,14 +113,7 @@ def sample_slice_pyramids_sum(
     Returns (B, M, n_slices, d).  Used by the fast inference path — the sum
     equals the first local layer applied to the channel-concat.
     """
-    b, m, _ = uv.shape
-    uv_tiled = jnp.repeat(uv, n_slices, axis=0)
-    total = None
-    for p in planes:
-        s = grid_sample_2d(p, uv_tiled)
-        total = s if total is None else total + s
-    total = total.reshape(b, n_slices, m, total.shape[-1])
-    return jnp.swapaxes(total, 1, 2)
+    return sample_packed_sum(pack_planes(planes, n_slices), uv, n_slices)
 
 
 def sample_slice_pyramids(
@@ -108,6 +162,7 @@ class SDFTransformerHead(nn.Module):
     point_mlp_relu: bool = True
     local_mlp_features: Sequence[int] = (128, 128)
     local_mlp_relu: bool = True
+    fused_ffn: bool = False
     dtype: Optional[Any] = None
 
     def setup(self):
@@ -126,6 +181,7 @@ class SDFTransformerHead(nn.Module):
             d_model=self.d_model,
             n_heads=self.n_heads,
             final_head_tokens=1,
+            fused_ffn=self.fused_ffn,
             dtype=self.dtype,
         )
         self.fc_out = nn.Dense(1, dtype=self.dtype)
