@@ -100,6 +100,26 @@ class DenseParams(nn.Module):
         return kernel, bias
 
 
+class NormParams(nn.Module):
+    """Raw LayerNorm (scale, bias) with nn.LayerNorm's tree layout."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones_init(), (self.features,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return scale, bias
+
+
+def _layer_norm(x, scale, bias, dtype):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    out = (xf - mu) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+    return out.astype(dtype or x.dtype)
+
+
 class TransformerEncoderLayer(nn.Module):
     """Post-LN transformer encoder layer with torch nn.TransformerEncoderLayer
     defaults: ReLU activation, dim_feedforward=2048, LayerNorm eps=1e-5.
@@ -127,8 +147,40 @@ class TransformerEncoderLayer(nn.Module):
         d, h = self.d_model, self.n_heads
         dh = d // h
         in_dtype = x.dtype
+        cd = self.dtype or x.dtype
 
-        qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(x)
+        kq, bq = DenseParams(d, 3 * d, name="qkv")()
+        ko, bo = DenseParams(d, d, name="out_proj")()
+        g1, be1 = NormParams(d, name="norm1")()
+        k1, b1 = DenseParams(d, self.d_ff, name="ff1")()
+        k2, b2 = DenseParams(self.d_ff, d, name="ff2")()
+        g2, be2 = NormParams(d, name="norm2")()
+
+        import os
+
+        # Fully-fused layer kernel: verified in interpret mode and on-TPU at
+        # fp32; bf16 still trips a Mosaic relayout bug, so it is opt-in
+        # (SLICE3D_FUSED_ENCODER=1) until that is resolved.
+        if (self.fused_ffn and x.ndim == 4
+                and os.environ.get("SLICE3D_FUSED_ENCODER")):
+            from ..ops.pallas_encoder import fused_encoder_layer
+            from ..ops.pallas_ffn import pallas_available
+
+            if pallas_available():
+                params = {
+                    "qkv": {"kernel": kq, "bias": bq},
+                    "out_proj": {"kernel": ko, "bias": bo},
+                    "norm1": {"scale": g1, "bias": be1},
+                    "ff1": {"kernel": k1, "bias": b1},
+                    "ff2": {"kernel": k2, "bias": b2},
+                    "norm2": {"scale": g2, "bias": be2},
+                }
+                out = fused_encoder_layer(
+                    x.astype(cd), params, n_heads=h, head_tokens=self.head_tokens
+                )
+                return out.astype(in_dtype)
+
+        qkv = jnp.dot(x.astype(cd), kq.astype(cd)) + bq.astype(cd)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):  # (..., T, D) -> (..., H, T, Dh)
@@ -145,20 +197,17 @@ class TransformerEncoderLayer(nn.Module):
         attn = jnp.einsum("...ts,...sd->...td", probs, v)
         attn = jnp.swapaxes(attn, -2, -3)  # (..., T, H, Dh)
         attn = attn.reshape(attn.shape[:-2] + (d,))
-        attn = nn.Dense(d, dtype=self.dtype, name="out_proj")(attn)
+        attn = jnp.dot(attn.astype(cd), ko.astype(cd)) + bo.astype(cd)
 
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x + attn)
-        k1, b1 = DenseParams(d, self.d_ff, name="ff1")()
-        k2, b2 = DenseParams(self.d_ff, d, name="ff2")()
+        x = _layer_norm(x + attn, g1, be1, self.dtype)
         if self.fused_ffn:
             from ..ops.pallas_ffn import fused_ffn
 
             ff = fused_ffn(x, k1, b1, k2, b2)
         else:
-            cd = self.dtype or x.dtype
             ff = nn.relu(jnp.dot(x.astype(cd), k1.astype(cd)) + b1.astype(cd))
             ff = jnp.dot(ff, k2.astype(cd)) + b2.astype(cd)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x + ff)
+        x = _layer_norm(x + ff, g2, be2, self.dtype)
         return x.astype(in_dtype)
 
 

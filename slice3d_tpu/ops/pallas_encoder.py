@@ -1,0 +1,172 @@
+"""Fully-fused post-LN transformer encoder layer (Pallas, TPU, inference).
+
+The SDF head runs 3 post-LN layers over (M, 13, 128) tokens with M up to
+65k points per chunk.  Under XLA each layer materializes ~10 HBM-sized
+intermediates (qkv, attention probs, out_proj, two LayerNorms, the 2048-wide
+FFN) — the head is bandwidth/overhead bound at ~43 ms/layer/chunk.  This
+kernel keeps EVERYTHING for a block of points resident in VMEM: one read of
+(BLK, T, 128) in, one write out; attention over the tiny 13-token axis and
+the FFN expansion never touch HBM.
+
+Mosaic-friendly construction: all tensors stay 3-D (block, token, feature)
+— per-head projections use weight slabs indexed on the LEADING axis
+((H, D, Dh) etc.), so there are no reshapes or lane-granular slices, and
+every dot_general has at most one batch dimension.
+
+Semantics match models.layers.TransformerEncoderLayer (fp32 softmax and
+fp32 matmul accumulation, LayerNorm eps 1e-5), including the
+``head_tokens`` trim for the final layer.  Inference-only.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_encoder_layer"]
+
+
+def _block_points(dtype) -> int:
+    """Points per block, sized so the in-VMEM FFN expansion (+ fp32
+    attention intermediates and double-buffered IO) stays under ~16 MB."""
+    return 128 if dtype == jnp.bfloat16 else 32
+
+
+def _layer_kernel(n_heads: int, head_tokens: int,
+                  x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+                  wo_ref, bo_ref, g1_ref, beta1_ref,
+                  w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, beta2_ref,
+                  o_ref):
+    blk, t, d = x_ref.shape
+    dh = wq_ref.shape[-1]
+    t_out = head_tokens if head_tokens else t
+    x = x_ref[:]  # (BLK, T, D)
+
+    scale = 1.0 / math.sqrt(dh)
+    bd_last = lambda a, b: jax.lax.dot_general(
+        a, b, dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    attn = None
+    for h in range(n_heads):
+        q_h = (bd_last(x, wq_ref[h]) + bq_ref[h]).astype(x.dtype)  # (BLK,T,Dh)
+        k_h = (bd_last(x, wk_ref[h]) + bk_ref[h]).astype(x.dtype)
+        v_h = (bd_last(x, wv_ref[h]) + bv_ref[h]).astype(x.dtype)
+        if head_tokens:
+            q_h = q_h[:, :head_tokens]
+        logits = jax.lax.dot_general(
+            q_h, k_h, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (BLK, T_out, T)
+        probs = jax.nn.softmax(logits * scale, axis=-1).astype(x.dtype)
+        o_h = jax.lax.dot_general(
+            probs, v_h, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)  # (BLK, T_out, Dh)
+        # fold out_proj per head: sum_h o_h @ Wo[h]
+        contrib = bd_last(o_h, wo_ref[h])  # (BLK, T_out, D) fp32
+        attn = contrib if attn is None else attn + contrib
+    attn = attn + bo_ref[:]
+
+    x_res = x[:, :head_tokens] if head_tokens else x
+
+    def layer_norm(v, g_ref, b_ref):
+        v = v.astype(jnp.float32)
+        mu = jnp.mean(v, axis=-1, keepdims=True)
+        var = jnp.mean((v - mu) ** 2, axis=-1, keepdims=True)
+        return ((v - mu) * jax.lax.rsqrt(var + 1e-5)) * g_ref[:] + b_ref[:]
+
+    h1 = layer_norm(x_res.astype(jnp.float32) + attn, g1_ref, beta1_ref).astype(x.dtype)
+
+    ff = bd_last(h1, w1_ref[:])
+    ff = jnp.maximum(ff + b1_ref[:], 0.0).astype(x.dtype)
+    ff = bd_last(ff, w2_ref[:]) + b2_ref[:]
+
+    out = layer_norm(h1.astype(jnp.float32) + ff, g2_ref, beta2_ref)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def fused_encoder_layer(x, params, *, n_heads: int = 4, head_tokens: int = 0):
+    """x: (B, M, T, D) tokens -> (B, M, T_out, D).
+
+    params: the TransformerEncoderLayer param tree (qkv/out_proj/ff1/ff2
+    {kernel, bias}, norm1/norm2 {scale, bias}).
+    """
+    b, m, t, d = x.shape
+    f = params["ff1"]["kernel"].shape[1]
+    dh = d // n_heads
+    t_out = head_tokens if head_tokens else t
+
+    n = b * m
+    dt = x.dtype
+    blk = _block_points(dt)
+    flat = x.reshape(n, t, d)
+    pad = (-n) % blk
+    if pad:
+        flat = jnp.pad(flat, ((0, pad), (0, 0), (0, 0)))
+    np_ = n + pad
+
+    # per-head weight slabs, leading-axis indexed inside the kernel
+    kq = params["qkv"]["kernel"].astype(dt)  # (D, 3D) cols = [q | k | v]
+    bq = params["qkv"]["bias"].astype(jnp.float32)
+
+    def head_slabs(mat):  # (D, D) -> (H, D, Dh)
+        return jnp.transpose(mat.reshape(d, n_heads, dh), (1, 0, 2))
+
+    wq = head_slabs(kq[:, :d])
+    wk = head_slabs(kq[:, d:2 * d])
+    wv = head_slabs(kq[:, 2 * d:])
+
+    def bias_slabs(vec):  # (D,) -> (H, 1, Dh)
+        return vec.reshape(n_heads, 1, dh)
+
+    bqh = bias_slabs(bq[:d])
+    bkh = bias_slabs(bq[d:2 * d])
+    bvh = bias_slabs(bq[2 * d:])
+
+    # out_proj rows per head: (H, Dh, D)
+    wo = params["out_proj"]["kernel"].astype(dt).reshape(n_heads, dh, d)
+    bo = params["out_proj"]["bias"].astype(jnp.float32).reshape(1, d)
+
+    row = lambda v: v.reshape(1, -1).astype(jnp.float32)
+
+    kernel = functools.partial(_layer_kernel, n_heads, head_tokens)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(np_ // blk,),
+        interpret=bool(os.environ.get("SLICE3D_PALLAS_INTERPRET")),
+        in_specs=[
+            pl.BlockSpec((blk, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            full((n_heads, d, dh)), full((n_heads, d, dh)), full((n_heads, d, dh)),
+            full((n_heads, 1, dh)), full((n_heads, 1, dh)), full((n_heads, 1, dh)),
+            full((n_heads, dh, d)), full((1, d)),
+            full((1, d)), full((1, d)),
+            full((d, f)), full((1, f)),
+            full((f, d)), full((1, d)),
+            full((1, d)), full((1, d)),
+        ],
+        out_specs=pl.BlockSpec((blk, t_out, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_, t_out, d), dt),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * np_ * t * d * (3 * d + d + 2 * f),
+            bytes_accessed=np_ * t * d * 2 * 2,
+            transcendentals=np_ * t * t,
+        ),
+    )(
+        flat, wq, wk, wv, bqh, bkh, bvh, wo, bo,
+        row(params["norm1"]["scale"]), row(params["norm1"]["bias"]),
+        params["ff1"]["kernel"].astype(dt), row(params["ff1"]["bias"]),
+        params["ff2"]["kernel"].astype(dt), row(params["ff2"]["bias"]),
+        row(params["norm2"]["scale"]), row(params["norm2"]["bias"]),
+    )
+    return out[:n].reshape(b, m, t_out, d)
