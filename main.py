@@ -48,6 +48,7 @@ def get_parser():
     p.add_argument("--max_steps", type=int, default=-1)
     p.add_argument("--ckpt_every", type=int, default=2000)
     p.add_argument("--log_images_every", type=int, default=2000)
+    p.add_argument("--val_every", type=int, default=2000)
     p.add_argument("--ddim_steps", type=int, default=200)
     p.add_argument("--ddim_eta", type=float, default=1.0)
     return p
@@ -207,6 +208,12 @@ def main(argv=None):
 
         ds = build_dataset(cfg, "train", img_size, args.data_root)
         loader = BatchLoader(ds, bs, shuffle=True, num_workers=4)
+        try:
+            val_ds = build_dataset(cfg, "validation", img_size, args.data_root)
+            val_loader = BatchLoader(val_ds, bs, shuffle=False,
+                                     drop_last=False, num_workers=2)
+        except (FileNotFoundError, KeyError):
+            val_loader = None
         rng = jax.random.PRNGKey(args.seed)
         t0 = time.time()
         step = int(state.step)
@@ -225,6 +232,15 @@ def main(argv=None):
                     if step % args.ckpt_every == 0 or want_ckpt["flag"]:
                         want_ckpt["flag"] = False
                         trainer.save(state, os.path.join(ckpt_dir, "last.ckpt"))
+                    if (val_loader is not None and args.val_every > 0
+                            and step % args.val_every == 0):
+                        vb = next(iter(val_loader))
+                        v = trainer.eval_loss(state, vb, jax.random.PRNGKey(0),
+                                              use_ema=False)
+                        ve = trainer.eval_loss(state, vb, jax.random.PRNGKey(0),
+                                               use_ema=True)
+                        print(f"step {step}: val/loss_simple "
+                              f"{v['loss_simple']:.5f} ema {ve['loss_simple']:.5f}")
                     if args.log_images_every > 0 and step % args.log_images_every == 0:
                         # ImageLogger-style montage: GT slices + VAE recon
                         img_dir = os.path.join(logdir, "images", "train")

@@ -21,6 +21,67 @@ from slice3d_tpu.models.build import build_model, load_model_variables
 from slice3d_tpu.pipeline import Reconstructor
 
 
+def _build_campose_predictor(opts):
+    """Estimated-camera-pose path (reference reconstruct.py:390-406):
+    CameraNet predicts the inverse rotation; the recorded sign fixes and
+    row swap map it into the dataset's obj_rot_mat convention, and the
+    predicted full projection replaces trans_mat_right."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from slice3d_tpu import camera
+    from slice3d_tpu.models.camnet import CameraNet, _ROT_MAT_INV
+
+    cam_model = CameraNet(train_bn=False)
+    ckpt = None
+    if opts.name_ckpt_cam:
+        ckpt = os.path.join(opts.dir_experiments, opts.name_exp_cam, "ckpt",
+                            opts.name_ckpt_cam)
+    if ckpt and os.path.exists(ckpt):
+        from slice3d_tpu.models.build import _is_torch_file
+        from slice3d_tpu.train.checkpoint import restore_checkpoint
+
+        if _is_torch_file(ckpt):
+            import torch
+
+            from slice3d_tpu.convert import torch_import
+
+            payload = torch.load(ckpt, map_location="cpu", weights_only=False)
+            sd = payload.get("model", payload)
+            cam_vars = torch_import.camnet_model(sd)
+        else:
+            cam_vars = restore_checkpoint(ckpt)["variables"]
+    else:
+        cam_vars = cam_model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, opts.img_size, opts.img_size, 3))
+        )
+        print("est_campose: no camera checkpoint found, using random weights")
+
+    predict = jax.jit(lambda v, img: cam_model.apply(v, img))
+    k = camera.intrinsics(1.0, 1.0).astype(np.float32)
+
+    def apply(feed):
+        out = predict(cam_vars, jnp.asarray(feed["img_input"])[None])
+        rot = np.asarray(out["pred_rotation_mat_inv"][0]).copy()
+        # reference sign fixes + row swap (reconstruct.py:394-403)
+        rot[0, 1] *= -1.0
+        rot[0, 2] *= -1.0
+        rot[2, 1] *= -1.0
+        rot[2, 2] *= -1.0
+        rot[1, 0] *= -1.0
+        rot[[1, 2]] = rot[[2, 1]]
+        feed["obj_rot_mat"] = rot.astype(np.float32)
+
+        pred_rt_inv = np.asarray(out["pred_RT_inv"][0])  # (4, 3)
+        rot_inv = np.asarray(_ROT_MAT_INV)
+        pred_regress = rot_inv @ pred_rt_inv  # norm_mat = identity here
+        feed["trans_mat_right"] = (k @ pred_regress.T).T.astype(np.float32)
+        return feed
+
+    return apply
+
+
 def main(argv=None):
     opts = options_from_args(argv)
 
@@ -39,6 +100,7 @@ def main(argv=None):
         use_white_bg=opts.use_white_bg,
         load_slices=(opts.name_model == "gtslice"),
         load_sdf=False,
+        load_full_projection=(opts.name_model == "disn"),
         categories=opts.categories,
     )
 
@@ -47,6 +109,10 @@ def main(argv=None):
     if opts.name_ckpt:
         ckpt_path = os.path.join(opts.exp_dir, "ckpt", opts.name_ckpt)
     variables = load_model_variables(model, opts, ckpt_path)
+
+    cam_predict = None
+    if opts.est_campose:
+        cam_predict = _build_campose_predictor(opts)
 
     recon = Reconstructor(
         model,
@@ -67,6 +133,8 @@ def main(argv=None):
         if os.path.exists(path_mesh) and not opts.overwrite_res:
             continue
         feed = dataset[idx]
+        if cam_predict is not None:
+            feed = cam_predict(feed)
         t0 = time.perf_counter()
         mesh, stats = recon.reconstruct(feed)
         dt = time.perf_counter() - t0

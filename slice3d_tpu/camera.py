@@ -142,6 +142,19 @@ def camera_matrices(az_meta: float, el_meta: float, distance: float):
     return obj_rot_mat, trans_mat_wo_rot.T  # (3,3), (4,3)
 
 
+def full_projection_matrix(az_meta: float, el_meta: float, distance: float) -> np.ndarray:
+    """Transposed FULL projection (4, 3): K @ [RT @ canonical_rot].
+
+    Used by the DISN baseline, which projects unrotated canonical points
+    with the complete camera matrix (reference src/model_disn.py:85 fed by
+    datasets_cam.py trans_mat_right).
+    """
+    az = -float(az_meta)
+    k = intrinsics(1.0, 1.0)
+    rt = blender_rt(az, float(el_meta), float(distance))
+    return (k @ (rt @ canonical_rot4())).T
+
+
 def sdf_sample_transform(points: np.ndarray, sdf: np.ndarray, scale: float, offset) -> tuple:
     """Apply the per-object random normalization recorded at render time.
 

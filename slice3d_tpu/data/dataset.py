@@ -86,6 +86,7 @@ class Slice3DDataset:
     use_white_bg: bool = False
     load_slices: bool = True
     load_sdf: bool = True
+    load_full_projection: bool = False  # 'trans_mat_right' for DISN
     categories: Sequence[str] = ("",)
 
     def __post_init__(self):
@@ -171,6 +172,14 @@ class Slice3DDataset:
             "obj_rot_mat": obj_rot,
             "trans_mat_wo_rot_tp": trans_tp,
         }
+        if self.load_full_projection:
+            import pickle as _pickle
+
+            with open(os.path.join(self.dir_img_input, shape_id, "meta.pkl"), "rb") as f:
+                meta = _pickle.load(f)
+            feed["trans_mat_right"] = camera.full_projection_matrix(
+                meta[1][view], meta[2][view], meta[3][view]
+            ).astype(np.float32)
         if self.load_slices:
             feed["img_slices"] = self.load_slice_images(shape_id, view).astype(np.float32)
         if self.load_sdf:

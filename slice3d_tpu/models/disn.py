@@ -76,11 +76,10 @@ class DISNModel(nn.Module):
         sdf = self.fc_local(local_q) + self.fc_global(global_q)
         return sdf[..., 0].astype(jnp.float32)
 
-    def __call__(self, img_input, qry_norot, trans_mat_right,
-                 obj_rot_mat=None, *, test_mode: bool = False):
-        if test_mode or obj_rot_mat is None:
-            qry_rot = qry_norot * jnp.array([1.0, -1.0, -1.0], qry_norot.dtype)
-        else:
-            qry_rot = jnp.einsum("bmi,bij->bmj", qry_norot, obj_rot_mat)
+    def __call__(self, img_input, qry_norot, trans_mat_right, obj_rot_mat):
+        # DISN always rotates by the (GT or estimated) camera rotation and
+        # projects the UNROTATED points with the full matrix — it has no
+        # test-mode flip (reference model_disn.py:74-85).
+        qry_rot = jnp.einsum("bmi,bij->bmj", qry_norot, obj_rot_mat)
         pyramids, feat_global = self.encode(img_input)
         return self.query(pyramids, feat_global, qry_rot, qry_norot, trans_mat_right)

@@ -113,11 +113,12 @@ class NormParams(nn.Module):
 
 
 def _layer_norm(x, scale, bias, dtype):
-    xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
-    out = (xf - mu) * jax.lax.rsqrt(var + 1e-5) * scale + bias
-    return out.astype(dtype or x.dtype)
+    cd = dtype or x.dtype
+    xc = x.astype(cd)
+    mu = jnp.mean(xc, axis=-1, keepdims=True)
+    var = jnp.mean((xc - mu) ** 2, axis=-1, keepdims=True)
+    out = (xc - mu) * jax.lax.rsqrt(var + 1e-5) * scale.astype(cd) + bias.astype(cd)
+    return out
 
 
 class TransformerEncoderLayer(nn.Module):

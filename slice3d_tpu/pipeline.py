@@ -18,6 +18,7 @@ import numpy as np
 
 from .mesh import Mesh
 from .mesh.extract import MeshGenerator
+from .models.disn import DISNModel
 from .models.gtslice import GTSliceModel
 from .models.slicenet import SliceNetModel
 
@@ -58,33 +59,54 @@ class Reconstructor:
         )
 
         is_slicenet = isinstance(model, SliceNetModel)
+        is_disn = isinstance(model, DISNModel)
 
-        @jax.jit
-        def encode_fn(variables, imgs):
-            # folded planes: the head's first local Linear is pre-applied so
-            # the per-query path samples 128-ch planes (see sdf_head)
-            return model.apply(variables, imgs, method=model.encode_folded)
-
-        @jax.jit
-        def query_fn(variables, pyramids, idx, res, trans_tp):
-            # lattice index -> world coords on device (cheap) — the host only
-            # ships int32 indices, 3x less traffic than xyz floats
+        def lattice_pts(idx, res):
+            # lattice index -> world coords on device (cheap) — the host
+            # only ships int32 indices, 3x less traffic than xyz floats
             n = res + 1
             z = idx % n
             y = (idx // n) % n
             x = idx // (n * n)
             pts = jnp.stack([x, y, z], axis=-1).astype(jnp.float32)
-            pts = (pts / res - 0.5) * box_size
-            # test-mode canonical->camera mapping: flip y/z (models.py:53-56)
-            qry = pts[None] * jnp.array([1.0, -1.0, -1.0], dtype=pts.dtype)
-            sdf = model.apply(
-                variables, pyramids, qry, trans_tp, method=model.query_folded
-            )
-            return -sdf[0]  # logit convention: inside positive
+            return (pts / res - 0.5) * box_size
+
+        @jax.jit
+        def encode_fn(variables, imgs):
+            # folded planes: the head's first local Linear is pre-applied so
+            # the per-query path samples 128-ch planes (see sdf_head)
+            method = model.encode if is_disn else model.encode_folded
+            return model.apply(variables, imgs, method=method)
+
+        if is_disn:
+
+            @jax.jit
+            def query_fn(variables, encoded, idx, res, trans_right, obj_rot):
+                pyramids, feat_global = encoded
+                qry_norot = lattice_pts(idx, res)[None]
+                qry_rot = jnp.einsum("bmi,bij->bmj", qry_norot, obj_rot)
+                sdf = model.apply(
+                    variables, pyramids, feat_global, qry_rot, qry_norot,
+                    trans_right, method=model.query,
+                )
+                return -sdf[0]
+
+        else:
+
+            @jax.jit
+            def query_fn(variables, pyramids, idx, res, trans_tp):
+                pts = lattice_pts(idx, res)
+                # test-mode canonical->camera mapping: flip y/z (models.py:53-56)
+                qry = pts[None] * jnp.array([1.0, -1.0, -1.0], dtype=pts.dtype)
+                sdf = model.apply(
+                    variables, pyramids, qry, trans_tp, method=model.query_folded
+                )
+                return -sdf[0]  # logit convention: inside positive
 
         self._encode = encode_fn
         self._query = query_fn
         self._is_slicenet = is_slicenet
+        self._is_disn = is_disn
 
     # -- encoding ---------------------------------------------------------
 
@@ -100,19 +122,31 @@ class Reconstructor:
 
     def reconstruct(self, feed: Dict[str, np.ndarray]) -> Tuple[Mesh, Dict]:
         """feed: one dataset sample (unbatched numpy dict)."""
-        trans_tp = jnp.asarray(feed["trans_mat_wo_rot_tp"])[None]
-        if self._is_slicenet:
-            pyramids, _ = self.encode_input_view(feed["img_input"])
-        else:
-            pyramids = self.encode_slices(feed["img_slices"])
+        if self._is_disn:
+            encoded = self._encode(self.variables, jnp.asarray(feed["img_input"])[None])
+            trans_right = jnp.asarray(feed["trans_mat_right"])[None]
+            obj_rot = jnp.asarray(feed["obj_rot_mat"])[None]
 
-        def evaluator(idx: np.ndarray, res: int):
-            # returns the device array: keeps dispatch asynchronous so the
-            # grid refiner can overlap chunk uploads with device compute
-            return self._query(
-                self.variables, pyramids, jnp.asarray(idx),
-                jnp.int32(res), trans_tp,
-            )
+            def evaluator(idx: np.ndarray, res: int):
+                return self._query(
+                    self.variables, encoded, jnp.asarray(idx), jnp.int32(res),
+                    trans_right, obj_rot,
+                )
+
+        else:
+            trans_tp = jnp.asarray(feed["trans_mat_wo_rot_tp"])[None]
+            if self._is_slicenet:
+                pyramids, _ = self.encode_input_view(feed["img_input"])
+            else:
+                pyramids = self.encode_slices(feed["img_slices"])
+
+            def evaluator(idx: np.ndarray, res: int):
+                # returns the device array: keeps dispatch asynchronous so
+                # the grid refiner overlaps chunk uploads with device compute
+                return self._query(
+                    self.variables, pyramids, jnp.asarray(idx),
+                    jnp.int32(res), trans_tp,
+                )
 
         mesh, stats = self.generator.generate(evaluator)
         if self.simplify_nfaces and not mesh.is_empty:

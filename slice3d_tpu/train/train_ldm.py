@@ -184,6 +184,43 @@ class LDMTrainer:
     def train_step(self, state: LDMTrainState, batch, rng):
         return self._train_step(state, put_batch(batch, self.mesh), rng)
 
+    # -- validation -------------------------------------------------------
+
+    def _eval_impl(self, params, stats, scale_factor, logvar, batch, rng):
+        rng_enc, rng_loss = jax.random.split(rng)
+        variables = {"params": params, "batch_stats": stats}
+        z13 = self.module.apply(
+            variables, batch["image"], rng_enc, True,
+            method=LatentDiffusion.encode_images,
+        )
+        cond = self.module.apply(
+            variables, z13, batch["img_ipt_view"], scale_factor,
+            method=LatentDiffusion.build_cond,
+        )
+        atlas = self.module.apply(
+            variables, z13, scale_factor, method=LatentDiffusion.make_atlas,
+        )
+        _, logs = p_losses(
+            self.module, variables, self.schedule, rng_loss, atlas, cond,
+            logvar=logvar, loss_type=self.loss_type,
+        )
+        return logs
+
+    def eval_loss(self, state: LDMTrainState, batch, rng,
+                  use_ema: bool = True) -> Dict[str, float]:
+        """Validation losses; with use_ema the EMA weights are evaluated
+        (reference logs both as val/loss_simple and val/loss_simple_ema)."""
+        if not hasattr(self, "_eval_step"):
+            self._eval_step = jax.jit(self._eval_impl)
+        params = state.params
+        if use_ema and self.use_ema:
+            params = _merge_trainable(params, state.ema_params)
+        logs = self._eval_step(
+            params, state.batch_stats, state.scale_factor, state.logvar,
+            put_batch(batch, self.mesh), rng,
+        )
+        return {k: float(v) for k, v in logs.items()}
+
     # -- sampling ---------------------------------------------------------------
 
     def sample_slices(
