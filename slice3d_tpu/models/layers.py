@@ -159,11 +159,11 @@ class TransformerEncoderLayer(nn.Module):
 
         import os
 
-        # Fully-fused layer kernel: verified in interpret mode and on-TPU at
-        # fp32; bf16 still trips a Mosaic relayout bug, so it is opt-in
-        # (SLICE3D_FUSED_ENCODER=1) until that is resolved.
+        # Fully-fused layer kernel (verified on TPU at fp32 and bf16 after
+        # padding the token axis to the sublane tile); escape hatch via
+        # SLICE3D_DISABLE_FUSED_ENCODER.
         if (self.fused_ffn and x.ndim == 4
-                and os.environ.get("SLICE3D_FUSED_ENCODER")):
+                and not os.environ.get("SLICE3D_DISABLE_FUSED_ENCODER")):
             from ..ops.pallas_encoder import fused_encoder_layer
             from ..ops.pallas_ffn import pallas_available
 

@@ -8,10 +8,11 @@ kernel keeps EVERYTHING for a block of points resident in VMEM: one read of
 (BLK, T, 128) in, one write out; attention over the tiny 13-token axis and
 the FFN expansion never touch HBM.
 
-Mosaic-friendly construction: all tensors stay 3-D (block, token, feature)
-— per-head projections use weight slabs indexed on the LEADING axis
-((H, D, Dh) etc.), so there are no reshapes or lane-granular slices, and
-every dot_general has at most one batch dimension.
+Mosaic-friendly construction: all tensors stay 3-D (block, token, feature),
+biases are rank-matched 3-D, per-head projections use weight slabs indexed
+on the LEADING axis, the token axis is padded to the sublane tile (16) with
+padded keys masked out of the softmax, and every dot_general has at most
+one batch dimension.
 
 Semantics match models.layers.TransformerEncoderLayer (fp32 softmax and
 fp32 matmul accumulation, LayerNorm eps 1e-5), including the
@@ -38,7 +39,7 @@ def _block_points(dtype) -> int:
     return 128 if dtype == jnp.bfloat16 else 32
 
 
-def _layer_kernel(n_heads: int, head_tokens: int,
+def _layer_kernel(n_heads: int, head_tokens: int, t_real: int,
                   x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
                   wo_ref, bo_ref, g1_ref, beta1_ref,
                   w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, beta2_ref,
@@ -54,6 +55,11 @@ def _layer_kernel(n_heads: int, head_tokens: int,
         preferred_element_type=jnp.float32,
     )
 
+    if t != t_real:
+        key_pad = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, 1, t), 2) >= t_real
+        ).astype(jnp.float32) * (-1e9)
+
     attn = None
     for h in range(n_heads):
         q_h = (bd_last(x, wq_ref[h]) + bq_ref[h]).astype(x.dtype)  # (BLK,T,Dh)
@@ -64,8 +70,10 @@ def _layer_kernel(n_heads: int, head_tokens: int,
         logits = jax.lax.dot_general(
             q_h, k_h, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # (BLK, T_out, T)
-        probs = jax.nn.softmax(logits * scale, axis=-1).astype(x.dtype)
+        ) * scale  # (BLK, T_out, T)
+        if t != t_real:
+            logits = logits + key_pad
+        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
         o_h = jax.lax.dot_general(
             probs, v_h, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -102,18 +110,23 @@ def fused_encoder_layer(x, params, *, n_heads: int = 4, head_tokens: int = 0):
     b, m, t, d = x.shape
     f = params["ff1"]["kernel"].shape[1]
     dh = d // n_heads
-    t_out = head_tokens if head_tokens else t
-
     n = b * m
     dt = x.dtype
     blk = _block_points(dt)
-    flat = x.reshape(n, t, d)
-    pad = (-n) % blk
-    if pad:
-        flat = jnp.pad(flat, ((0, pad), (0, 0), (0, 0)))
-    np_ = n + pad
 
-    # per-head weight slabs, leading-axis indexed inside the kernel
+    # pad the token axis to the sublane tile so bf16 layouts stay native;
+    # padded keys are masked inside the kernel
+    sub = 16 if dt == jnp.bfloat16 else 8
+    t_pad = -(-t // sub) * sub
+    t_out = head_tokens if head_tokens else t
+    t_out_pad = head_tokens if head_tokens else t_pad
+
+    flat = x.reshape(n, t, d)
+    pad_n = (-n) % blk
+    if pad_n or t_pad != t:
+        flat = jnp.pad(flat, ((0, pad_n), (0, t_pad - t), (0, 0)))
+    np_ = n + pad_n
+
     kq = params["qkv"]["kernel"].astype(dt)  # (D, 3D) cols = [q | k | v]
     bq = params["qkv"]["bias"].astype(jnp.float32)
 
@@ -124,20 +137,17 @@ def fused_encoder_layer(x, params, *, n_heads: int = 4, head_tokens: int = 0):
     wk = head_slabs(kq[:, d:2 * d])
     wv = head_slabs(kq[:, 2 * d:])
 
-    def bias_slabs(vec):  # (D,) -> (H, 1, Dh)
-        return vec.reshape(n_heads, 1, dh)
+    def bias_slabs(vec):  # (D,) -> (H, 1, 1, Dh): [h] -> (1, 1, Dh)
+        return vec.reshape(n_heads, 1, 1, dh)
 
     bqh = bias_slabs(bq[:d])
     bkh = bias_slabs(bq[d:2 * d])
     bvh = bias_slabs(bq[2 * d:])
 
-    # out_proj rows per head: (H, Dh, D)
     wo = params["out_proj"]["kernel"].astype(dt).reshape(n_heads, dh, d)
-    bo = params["out_proj"]["bias"].astype(jnp.float32).reshape(1, d)
+    row3 = lambda v: v.reshape(1, 1, -1).astype(jnp.float32)
 
-    row = lambda v: v.reshape(1, -1).astype(jnp.float32)
-
-    kernel = functools.partial(_layer_kernel, n_heads, head_tokens)
+    kernel = functools.partial(_layer_kernel, n_heads, head_tokens, t)
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                       memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -145,28 +155,31 @@ def fused_encoder_layer(x, params, *, n_heads: int = 4, head_tokens: int = 0):
         grid=(np_ // blk,),
         interpret=bool(os.environ.get("SLICE3D_PALLAS_INTERPRET")),
         in_specs=[
-            pl.BlockSpec((blk, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, t_pad, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             full((n_heads, d, dh)), full((n_heads, d, dh)), full((n_heads, d, dh)),
-            full((n_heads, 1, dh)), full((n_heads, 1, dh)), full((n_heads, 1, dh)),
-            full((n_heads, dh, d)), full((1, d)),
-            full((1, d)), full((1, d)),
-            full((d, f)), full((1, f)),
-            full((f, d)), full((1, d)),
-            full((1, d)), full((1, d)),
+            full((n_heads, 1, 1, dh)), full((n_heads, 1, 1, dh)),
+            full((n_heads, 1, 1, dh)),
+            full((n_heads, dh, d)), full((1, 1, d)),
+            full((1, 1, d)), full((1, 1, d)),
+            full((d, f)), full((1, 1, f)),
+            full((f, d)), full((1, 1, d)),
+            full((1, 1, d)), full((1, 1, d)),
         ],
-        out_specs=pl.BlockSpec((blk, t_out, d), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((blk, t_out_pad, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((np_, t_out, d), dt),
+        out_shape=jax.ShapeDtypeStruct((np_, t_out_pad, d), dt),
         cost_estimate=pl.CostEstimate(
-            flops=2 * np_ * t * d * (3 * d + d + 2 * f),
-            bytes_accessed=np_ * t * d * 2 * 2,
-            transcendentals=np_ * t * t,
+            flops=2 * np_ * t_pad * d * (3 * d + d + 2 * f),
+            bytes_accessed=np_ * t_pad * d * 2 * 2,
+            transcendentals=np_ * t_pad * t_pad,
         ),
     )(
-        flat, wq, wk, wv, bqh, bkh, bvh, wo, bo,
-        row(params["norm1"]["scale"]), row(params["norm1"]["bias"]),
-        params["ff1"]["kernel"].astype(dt), row(params["ff1"]["bias"]),
-        params["ff2"]["kernel"].astype(dt), row(params["ff2"]["bias"]),
-        row(params["norm2"]["scale"]), row(params["norm2"]["bias"]),
+        flat, wq, wk, wv, bqh, bkh, bvh, wo,
+        row3(params["out_proj"]["bias"]),
+        row3(params["norm1"]["scale"]), row3(params["norm1"]["bias"]),
+        params["ff1"]["kernel"].astype(dt), row3(params["ff1"]["bias"]),
+        params["ff2"]["kernel"].astype(dt), row3(params["ff2"]["bias"]),
+        row3(params["norm2"]["scale"]), row3(params["norm2"]["bias"]),
     )
-    return out[:n].reshape(b, m, t_out, d)
+    return out[:n, :t_out].reshape(b, m, t_out, d)

@@ -252,6 +252,146 @@ class TVAE(nn.Module):
         self.post_quant_conv = nn.Conv2d(z, z, 1)
 
 
+# ---------------------------------------------------------------------------
+# Compact torch twin of the ADM UNet (state-dict compatible with the
+# reference openaimodel.UNetModel) for converter parity tests.
+
+
+import math as _math
+
+
+def t_timestep_embedding(t, dim):
+    half = dim // 2
+    freqs = torch.exp(-_math.log(10000.0) * torch.arange(half, dtype=torch.float32) / half)
+    args = t.float()[:, None] * freqs[None]
+    return torch.cat([torch.cos(args), torch.sin(args)], dim=-1)
+
+
+class TADMRes(nn.Module):
+    """ADM ResBlock: scale-shift norm, optional up/down, zero-init out conv."""
+
+    def __init__(self, cin, cout, emb_dim, updown=0):
+        super().__init__()
+        self.updown = updown
+        self.in_layers = nn.Sequential(
+            nn.GroupNorm(32, cin), nn.SiLU(), nn.Conv2d(cin, cout, 3, padding=1)
+        )
+        self.emb_layers = nn.Sequential(nn.SiLU(), nn.Linear(emb_dim, 2 * cout))
+        self.out_layers = nn.Sequential(
+            nn.GroupNorm(32, cout), nn.SiLU(), nn.Identity(),
+            nn.Conv2d(cout, cout, 3, padding=1),
+        )
+        self.has_skip = cin != cout
+        if self.has_skip:
+            self.skip_connection = nn.Conv2d(cin, cout, 1)
+
+    def forward(self, x, emb):
+        h = self.in_layers[1](self.in_layers[0](x))
+        if self.updown == -1:
+            h = torch.nn.functional.avg_pool2d(h, 2)
+            x = torch.nn.functional.avg_pool2d(x, 2)
+        elif self.updown == 1:
+            h = torch.nn.functional.interpolate(h, scale_factor=2, mode="nearest")
+            x = torch.nn.functional.interpolate(x, scale_factor=2, mode="nearest")
+        h = self.in_layers[2](h)
+        eo = self.emb_layers(emb)[:, :, None, None]
+        scale, shift = eo.chunk(2, dim=1)
+        h = self.out_layers[0](h) * (1 + scale) + shift
+        h = self.out_layers[3](self.out_layers[1](h))
+        if self.has_skip:
+            x = self.skip_connection(x)
+        return x + h
+
+
+class TADMAttn(nn.Module):
+    """Legacy qkv attention: heads-major channel interleave."""
+
+    def __init__(self, ch, n_heads):
+        super().__init__()
+        self.n_heads = n_heads
+        self.norm = nn.GroupNorm(32, ch)
+        self.qkv = nn.Conv1d(ch, 3 * ch, 1)
+        self.proj_out = nn.Conv1d(ch, ch, 1)
+
+    def forward(self, x):
+        b, c, hh, ww = x.shape
+        t = hh * ww
+        qkv = self.qkv(self.norm(x).reshape(b, c, t))
+        ch = c // self.n_heads
+        q, k, v = qkv.reshape(b * self.n_heads, 3 * ch, t).split(ch, dim=1)
+        scale = 1.0 / _math.sqrt(_math.sqrt(ch))
+        w = torch.einsum("bct,bcs->bts", q * scale, k * scale)
+        w = torch.softmax(w, dim=-1)
+        a = torch.einsum("bts,bcs->bct", w, v).reshape(b, c, t)
+        return x + self.proj_out(a).reshape(b, c, hh, ww)
+
+
+class TADMUNet(nn.Module):
+    def __init__(self, in_ch=8, out_ch=4, mc=32, mult=(1, 2), nres=1,
+                 attn_ds=(1, 2), n_heads=4):
+        super().__init__()
+        self.mc = mc
+        emb = 4 * mc
+        self.time_embed = nn.Sequential(
+            nn.Linear(mc, emb), nn.SiLU(), nn.Linear(emb, emb)
+        )
+        self.input_blocks = nn.ModuleList(
+            [nn.Sequential(nn.Conv2d(in_ch, mc, 3, padding=1))]
+        )
+        self._in_meta = []  # mirror structure for forward
+        ch = mc
+        ds = 1
+        chans = [mc]
+        for level, m in enumerate(mult):
+            co = mc * m
+            for _ in range(nres):
+                layers = [TADMRes(ch, co, emb)]
+                if ds in attn_ds:
+                    layers.append(TADMAttn(co, n_heads))
+                self.input_blocks.append(nn.Sequential(*layers))
+                ch = co
+                chans.append(ch)
+            if level + 1 < len(mult):
+                self.input_blocks.append(nn.Sequential(TADMRes(ch, co, emb, updown=-1)))
+                ds *= 2
+                chans.append(ch)
+        self.middle_block = nn.Sequential(
+            TADMRes(ch, ch, emb), TADMAttn(ch, n_heads), TADMRes(ch, ch, emb)
+        )
+        self.output_blocks = nn.ModuleList()
+        for level in reversed(range(len(mult))):
+            co = mc * mult[level]
+            for i in range(nres + 1):
+                layers = [TADMRes(ch + chans.pop(), co, emb)]
+                ch = co
+                if ds in attn_ds:
+                    layers.append(TADMAttn(co, n_heads))
+                if level > 0 and i == nres:
+                    layers.append(TADMRes(co, co, emb, updown=1))
+                    ds //= 2
+                self.output_blocks.append(nn.Sequential(*layers))
+        self.out = nn.Sequential(
+            nn.GroupNorm(32, mc * mult[0]), nn.SiLU(),
+            nn.Conv2d(mc * mult[0], out_ch, 3, padding=1),
+        )
+
+    def forward(self, x, t):
+        emb = self.time_embed(t_timestep_embedding(t, self.mc))
+        hs = []
+        h = x
+        for block in self.input_blocks:
+            for layer in block:
+                h = layer(h, emb) if isinstance(layer, TADMRes) else layer(h)
+            hs.append(h)
+        for layer in self.middle_block:
+            h = layer(h, emb) if isinstance(layer, TADMRes) else layer(h)
+        for block in self.output_blocks:
+            h = torch.cat([h, hs.pop()], dim=1)
+            for layer in block:
+                h = layer(h, emb) if isinstance(layer, TADMRes) else layer(h)
+        return self.out(h)
+
+
 def randomize_bn_stats(module, seed=0):
     """Give BN layers non-trivial running stats so parity tests catch
     mean/var mix-ups (fresh BN stats are 0/1 which would hide bugs)."""
