@@ -127,24 +127,41 @@ def main(argv=None):
     out_dir = os.path.join(opts.exp_dir, "results", opts.name_dataset)
     os.makedirs(out_dir, exist_ok=True)
 
+    todo = []
     for idx in range(len(dataset)):
         _, shape_id = dataset.files[idx]
         path_mesh = os.path.join(out_dir, f"{shape_id}.obj")
         if os.path.exists(path_mesh) and not opts.overwrite_res:
             continue
-        feed = dataset[idx]
-        if cam_predict is not None:
-            feed = cam_predict(feed)
-        t0 = time.perf_counter()
-        mesh, stats = recon.reconstruct(feed)
-        dt = time.perf_counter() - t0
+        todo.append((idx, shape_id, path_mesh))
+    if not todo:
+        print("all result meshes exist (use --overwrite_res to redo)")
+        return
+
+    def feeds():
+        for idx, _, _ in todo:
+            feed = dataset[idx]
+            if cam_predict is not None:
+                feed = cam_predict(feed)
+            yield feed
+
+    t_start = time.perf_counter()
+
+    def on_result(j, mesh, stats):
+        _, shape_id, path_mesh = todo[j]
         export_obj(mesh, path_mesh)
         print(
-            f"[{idx + 1}/{len(dataset)}] {shape_id}: {len(mesh.vertices)} verts, "
-            f"{len(mesh.faces)} faces in {dt:.2f}s "
+            f"[{j + 1}/{len(todo)}] {shape_id}: {len(mesh.vertices)} verts, "
+            f"{len(mesh.faces)} faces "
             f"(eval {stats['time_eval_points']:.2f}s over "
             f"{stats['n_points_evaluated']} pts, mc {stats['time_marching']:.2f}s)"
         )
+
+    # device eval of object i+1 overlaps host meshing of object i
+    recon.reconstruct_all(feeds(), on_result)
+    total = time.perf_counter() - t_start
+    print(f"{len(todo)} objects in {total:.2f}s "
+          f"({60.0 * len(todo) / max(total, 1e-9):.1f} objects/min)")
 
 
 if __name__ == "__main__":

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -222,6 +223,16 @@ class SDFTransformerHead(nn.Module):
 
     # -- folded fast path ------------------------------------------------------
 
+    def _first_local_params(self):
+        """(kernel (C_total, d), bias (d,)) of the first local layer.
+
+        Reads the bound submodule's variables directly — fold_pyramids only
+        runs under apply() with loaded parameters.
+        """
+        mod = self.fc_s if len(self.local_mlp_features) == 1 else self.fc_local.layers[0]
+        p = mod.variables["params"]
+        return p["kernel"], p["bias"]
+
     def fold_pyramids(self, pyramids: Sequence[jnp.ndarray]) -> Sequence[jnp.ndarray]:
         """Pre-multiply each feature plane by its slice of the first local
         layer: (N, h, w, c_l) -> (N, h, w, d_model).  One-time per object.
@@ -231,19 +242,15 @@ class SDFTransformerHead(nn.Module):
         model's projected coords are clamped in-range, so the bilinear
         weights of each sample sum to 1).
         """
-        total_c = sum(p.shape[-1] for p in pyramids)
-        zeros = jnp.zeros((1, total_c), pyramids[0].dtype)
-        bias = self._first_local(zeros)  # (1, d) = b
+        kernel, bias = self._first_local_params()
         outs = []
         offset = 0
         for i, p in enumerate(pyramids):
             c = p.shape[-1]
-            before = jnp.zeros(p.shape[:-1] + (offset,), p.dtype)
-            after = jnp.zeros(p.shape[:-1] + (total_c - offset - c,), p.dtype)
-            padded = jnp.concatenate([before, p, after], axis=-1)
-            folded = self._first_local(padded)
-            if i > 0:
-                folded = folded - bias  # keep exactly one bias copy overall
+            w_slice = jax.lax.slice_in_dim(kernel, offset, offset + c, axis=0)
+            folded = jnp.dot(p, w_slice.astype(p.dtype))
+            if i == 0:
+                folded = folded + bias.astype(folded.dtype)
             outs.append(folded)
             offset += c
         return outs

@@ -159,6 +159,85 @@ class Reconstructor:
             stats["time_simplify"] = time.perf_counter() - t0
         return mesh, stats
 
+    def reconstruct_all(self, feeds, on_result) -> None:
+        """Pipelined reconstruction over many objects.
+
+        The native isosurface/simplify stage of object i runs on a host
+        worker thread while the device already evaluates object i+1's SDF
+        grid — the host/device overlap the reference's per-object loop
+        lacks.  ``on_result(index, mesh, stats)`` is called in order.
+        """
+        import time
+        from concurrent.futures import ThreadPoolExecutor
+
+        logit_thr = float(
+            np.log(self.generator.threshold) - np.log(1.0 - self.generator.threshold)
+        )
+
+        def march(grid, stats):
+            from .mesh.extract import extract_mesh_from_grid
+
+            t0 = time.perf_counter()
+            mesh = extract_mesh_from_grid(grid, logit_thr, self.generator.box_size)
+            if self.simplify_nfaces and not mesh.is_empty:
+                from .mesh import simplify_mesh
+
+                mesh = simplify_mesh(mesh, self.simplify_nfaces)
+            stats["time_marching"] = time.perf_counter() - t0
+            return mesh, stats
+
+        with ThreadPoolExecutor(1) as pool:
+            pending = None  # (index, future)
+            for i, feed in enumerate(feeds):
+                grid, stats = self._build_grid(feed)
+                if pending is not None:
+                    j, fut = pending
+                    mesh, st = fut.result()
+                    on_result(j, mesh, st)
+                pending = (i, pool.submit(march, grid, stats))
+            if pending is not None:
+                j, fut = pending
+                mesh, st = fut.result()
+                on_result(j, mesh, st)
+
+    def _build_grid(self, feed):
+        """Device portion only: encode + refined value grid (numpy)."""
+        import time
+
+        from .mesh.extract import GridRefiner
+
+        if self._is_disn:
+            encoded = self._encode(self.variables, jnp.asarray(feed["img_input"])[None])
+            trans_right = jnp.asarray(feed["trans_mat_right"])[None]
+            obj_rot = jnp.asarray(feed["obj_rot_mat"])[None]
+
+            def evaluator(idx, res):
+                return self._query(self.variables, encoded, jnp.asarray(idx),
+                                   jnp.int32(res), trans_right, obj_rot)
+        else:
+            trans_tp = jnp.asarray(feed["trans_mat_wo_rot_tp"])[None]
+            if self._is_slicenet:
+                pyramids, _ = self.encode_input_view(feed["img_input"])
+            else:
+                pyramids = self.encode_slices(feed["img_slices"])
+
+            def evaluator(idx, res):
+                return self._query(self.variables, pyramids, jnp.asarray(idx),
+                                   jnp.int32(res), trans_tp)
+
+        g = self.generator
+        logit_thr = float(np.log(g.threshold) - np.log(1.0 - g.threshold))
+        refiner = GridRefiner(
+            resolution0=g.resolution0, upsampling_steps=g.upsampling_steps,
+            threshold=logit_thr, box_size=g.box_size, chunk_size=g.chunk_size,
+            dilate=g.dilate,
+        )
+        stats = {}
+        t0 = time.perf_counter()
+        grid = refiner.build(evaluator, stats)
+        stats["time_eval_points"] = time.perf_counter() - t0
+        return grid, stats
+
     def predicted_slices(self, img_input: np.ndarray) -> np.ndarray:
         """SliceNet only: (S, H, W, 3) predicted slice images in [-1, 1]."""
         if not self._is_slicenet:

@@ -1,0 +1,58 @@
+"""Reconstructor pipeline tests (tiny shapes, CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from slice3d_tpu import camera
+from slice3d_tpu.models.gtslice import GTSliceModel
+from slice3d_tpu.pipeline import Reconstructor
+
+
+@pytest.fixture(scope="module")
+def recon():
+    model = GTSliceModel(n_slices=2)
+    rng = np.random.default_rng(0)
+    slices = jnp.asarray(rng.normal(size=(1, 2, 32, 32, 3)).astype(np.float32))
+    qry = jnp.zeros((1, 8, 3), jnp.float32)
+    rot, proj = camera.camera_matrices(0.2, 0.1, 1.2)
+    variables = model.init(
+        jax.random.PRNGKey(0), slices,
+        qry, jnp.asarray(proj[None].astype(np.float32)),
+        jnp.asarray(rot[None].astype(np.float32)),
+    )
+    return Reconstructor(
+        model, variables, resolution0=8, upsampling_steps=1,
+        chunk_size=1024, simplify_nfaces=0,
+    )
+
+
+def make_feed(seed):
+    rng = np.random.default_rng(seed)
+    _, proj = camera.camera_matrices(0.2, 0.1, 1.2)
+    return {
+        "img_slices": rng.normal(size=(2, 32, 32, 3)).astype(np.float32),
+        "trans_mat_wo_rot_tp": proj.astype(np.float32),
+    }
+
+
+def test_reconstruct_single(recon):
+    mesh, stats = recon.reconstruct(make_feed(1))
+    assert stats["final_resolution"] == 16
+    assert "time_marching" in stats
+
+
+def test_reconstruct_all_pipelined_matches_single(recon):
+    feeds = [make_feed(i) for i in range(3)]
+    singles = [recon.reconstruct(f) for f in feeds]
+
+    results = {}
+    recon.reconstruct_all(iter(feeds), lambda j, mesh, st: results.__setitem__(j, (mesh, st)))
+    assert sorted(results) == [0, 1, 2]
+    for j, (mesh, _) in results.items():
+        ref_mesh, _ = singles[j]
+        assert len(mesh.vertices) == len(ref_mesh.vertices)
+        if len(mesh.vertices):
+            np.testing.assert_allclose(mesh.vertices, ref_mesh.vertices, atol=1e-5)
