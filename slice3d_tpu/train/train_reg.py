@@ -316,7 +316,9 @@ def train(opts: Options, *, max_steps: Optional[int] = None) -> None:
                 return
         if epoch % opts.freq_ckpt == 0:
             metrics = trainer.eval_epoch(state, val_loader)
-            print(f"[val] epoch {epoch}", metrics)
+            from ..utils.profiling import device_memory_stats
+
+            print(f"[val] epoch {epoch}", metrics, device_memory_stats())
             if writer:
                 writer.add_scalar("Loss/val", metrics.get("loss_pred", 0), int(state.step))
                 writer.add_scalar("Acc/val", metrics.get("acc", 0), int(state.step))

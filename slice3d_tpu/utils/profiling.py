@@ -10,7 +10,7 @@ from typing import Dict, Iterator, Optional
 
 import jax
 
-__all__ = ["StageTimer", "trace"]
+__all__ = ["StageTimer", "trace", "device_memory_stats"]
 
 
 class StageTimer:
@@ -27,6 +27,20 @@ class StageTimer:
         finally:
             key = f"time_{name}"
             self.stats[key] = self.stats.get(key, 0.0) + time.perf_counter() - t0
+
+
+def device_memory_stats() -> Dict:
+    """Peak/current device memory (role of the reference CUDACallback's
+    per-epoch peak-memory log, gen_slices/main.py:402-422)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+    except Exception:
+        return {}
+    out = {}
+    for key in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit"):
+        if key in stats:
+            out[key.replace("bytes", "mb")] = round(stats[key] / 2 ** 20, 1)
+    return out
 
 
 @contextlib.contextmanager
