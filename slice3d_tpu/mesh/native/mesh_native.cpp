@@ -140,6 +140,28 @@ class IsoExtractor {
 
   void run() {
     const float iso = iso_;
+    // First pass: count active cells so the edge hash allocates once
+    // (noise-like fields otherwise rehash tens of millions of entries).
+    int64_t active = 0;
+    for (int64_t x = 0; x + 1 < nx_; ++x) {
+      for (int64_t y = 0; y + 1 < ny_; ++y) {
+        const float* c0 = &g_[((x) * ny_ + y) * nz_];
+        const float* c1 = &g_[((x) * ny_ + y + 1) * nz_];
+        const float* c2 = &g_[((x + 1) * ny_ + y) * nz_];
+        const float* c3 = &g_[((x + 1) * ny_ + y + 1) * nz_];
+        for (int64_t z = 0; z + 1 < nz_; ++z) {
+          bool in0 = c0[z] > iso;
+          bool same = (c0[z + 1] > iso) == in0 && (c1[z] > iso) == in0 &&
+                      (c1[z + 1] > iso) == in0 && (c2[z] > iso) == in0 &&
+                      (c2[z + 1] > iso) == in0 && (c3[z] > iso) == in0 &&
+                      (c3[z + 1] > iso) == in0;
+          active += !same;
+        }
+      }
+    }
+    edge_map_.reserve(static_cast<size_t>(active) * 4 + 64);
+    verts_.reserve(static_cast<size_t>(active) * 2 + 64);
+    faces_.reserve(static_cast<size_t>(active) * 12 + 64);
     for (int64_t x = 0; x + 1 < nx_; ++x) {
       for (int64_t y = 0; y + 1 < ny_; ++y) {
         const float* col0 = &g_[((x) * ny_ + y) * nz_];
