@@ -20,8 +20,6 @@ TARGET_P50_S = 2.0
 
 
 def main():
-    import jax
-
     from slice3d_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()

@@ -15,12 +15,9 @@ from __future__ import annotations
 
 import argparse
 import datetime
-import glob
 import os
-import sys
 import time
 
-import numpy as np
 import yaml
 
 import jax

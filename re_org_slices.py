@@ -10,7 +10,6 @@ Slice naming follows the dataset order: X_1..4, Z_4..1 (reversed), Y_1..4.
 import argparse
 import os
 
-import numpy as np
 from PIL import Image
 
 from slice3d_tpu.data.dataset import SLICE_ORDER

@@ -11,7 +11,6 @@ Writes experiments/<exp>/results/<dataset>/<shape_id>.obj.
 """
 
 import os
-import sys
 import time
 
 from slice3d_tpu.config import options_from_args

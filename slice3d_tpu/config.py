@@ -13,7 +13,6 @@ import argparse
 import dataclasses
 import os
 from dataclasses import dataclass
-from typing import Optional
 
 __all__ = ["Options", "get_parser", "options_from_args", "dump_options"]
 

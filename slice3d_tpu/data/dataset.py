@@ -24,7 +24,7 @@ from __future__ import annotations
 import os
 import pickle
 import random
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np

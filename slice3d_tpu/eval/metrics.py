@@ -10,7 +10,7 @@ handles far faster than a host KD-tree at eval scales (1e4-1e5 points).
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,7 @@ host->device traffic 3x — the device derives ``world = box * (idx/res -
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Dict, Optional
 
 import numpy as np

@@ -5,7 +5,7 @@ binvox_rw.py — secondary utilities kept for dataset tooling parity).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import BinaryIO, Tuple
+from typing import BinaryIO
 
 import numpy as np
 

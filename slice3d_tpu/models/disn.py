@@ -57,8 +57,6 @@ class DISNModel(nn.Module):
         # adaptive 4x4 pool then flatten (NHWC order), as the DISN head does
         h, w = final.shape[1:3]
         if (h, w) != (4, 4):
-            from ..ops import resize_nearest
-
             final = nn.avg_pool(final, (max(h // 4, 1), max(w // 4, 1)),
                                 (max(h // 4, 1), max(w // 4, 1)))
         feat_global = self.global_head(final.reshape(b, -1))

@@ -12,7 +12,7 @@ both jit-compiled, with no Python between refinement rounds.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

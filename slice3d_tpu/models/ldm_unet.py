@@ -18,7 +18,7 @@ atlas) in fp32 softmax, bf16 elsewhere when dtype=bfloat16.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ Weight import from CompVis/reference checkpoints:
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

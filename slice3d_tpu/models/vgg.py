@@ -23,7 +23,7 @@ from typing import Any, Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import BatchNorm, Conv, max_pool_2x2
+from .layers import BatchNorm, max_pool_2x2
 
 __all__ = ["VGG16BNBackbone", "VGG19Features", "IMAGENET_MEAN", "IMAGENET_STD"]
 

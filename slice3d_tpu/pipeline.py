@@ -9,8 +9,7 @@ all refinement rounds and objects).
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -19,7 +18,6 @@ import numpy as np
 from .mesh import Mesh
 from .mesh.extract import MeshGenerator
 from .models.disn import DISNModel
-from .models.gtslice import GTSliceModel
 from .models.slicenet import SliceNetModel
 
 __all__ = ["Reconstructor"]

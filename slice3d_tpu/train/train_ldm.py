@@ -13,9 +13,7 @@ Everything per-step runs as one jit program over the (data, model) mesh.
 
 from __future__ import annotations
 
-import os
-import time
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -23,14 +21,12 @@ import numpy as np
 import optax
 from flax import struct, traverse_util
 
-from ..data.ldm_data import LDMSliceDataset
-from ..data.pipeline import BatchLoader
 from ..diffusion.latent import LatentDiffusion, p_losses
 from ..diffusion.schedule import DDIMParams, DiffusionSchedule
 from ..diffusion.ddim import ddim_sample
 from ..models.ema import ema_update
 from ..parallel import create_mesh, put_batch
-from .checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+from .checkpoint import restore_checkpoint, save_checkpoint
 
 __all__ = ["LDMTrainState", "LDMTrainer"]
 

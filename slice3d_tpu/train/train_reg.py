@@ -15,10 +15,8 @@ replicated state.
 
 from __future__ import annotations
 
-import dataclasses
 import os
 import time
-from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -26,7 +24,6 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import struct
-from flax.core import freeze, unfreeze
 
 from ..config import Options, dump_options
 from ..data import BatchLoader, Slice3DDataset

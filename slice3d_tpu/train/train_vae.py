@@ -15,7 +15,7 @@ decoder's final conv, computed with two extra vjps.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -56,7 +56,6 @@ def instantiate_from_config(config: Mapping, **extra):
         raise KeyError("config has no 'target' key")
     cls = resolve_target(config["target"])
     params = dict(config.get("params") or {})
-    import dataclasses
     import inspect
 
     try:
