@@ -88,10 +88,14 @@ def main(argv=None):
 
     enable_compilation_cache()
 
+    # Split follows --mode like the reference CLI (reconstruct.py:334-415);
+    # train-mode invocations still reconstruct the test split.
+    split = opts.mode if opts.mode in ("val", "test", "trainval") else "test"
+
     # Validate the dataset before any (slow) device compilation.
     dataset = Slice3DDataset(
         opts.dataset_root,
-        split="test",
+        split=split,
         img_size=opts.img_size,
         n_qry=opts.n_qry,
         n_views=opts.n_views,

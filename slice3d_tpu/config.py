@@ -45,6 +45,9 @@ class Options:
     freq_ckpt: int = 4
     freq_log: int = 200
     freq_decay: int = 100
+    # NOTE: despite the (reference-inherited) name, this is the LR decay
+    # FACTOR applied every freq_decay epochs (reference train.py:179-181),
+    # not an AdamW weight decay.  Prefer `lr_decay_factor` in new code.
     weight_decay: float = 0.5
     resume: bool = False
     est_campose: bool = False
@@ -65,6 +68,11 @@ class Options:
     vgg19_ckpt: str = ""  # torch vgg19 weights for the perceptual loss
     random_init: bool = False  # run with random weights (benchmarks/smoke)
     dir_experiments: str = "experiments"
+
+    @property
+    def lr_decay_factor(self) -> float:
+        """Clear alias for the confusingly-named ``weight_decay`` flag."""
+        return self.weight_decay
 
     @property
     def dataset_root(self) -> str:

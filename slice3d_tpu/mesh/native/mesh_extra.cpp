@@ -345,10 +345,75 @@ int s3d_points_inside(const float* verts, int64_t nv, const int64_t* faces,
   return 0;
 }
 
-// Conservative voxelization: mark every voxel whose AABB a triangle touches
-// (AABB test in voxel space; the role of libvoxelize's SAT-based marker for
-// occupancy grids).  Grid is res^3 over [0, 1]^3 with vertices given in
-// [0, 1] coordinates.
+// Exact triangle/axis-aligned-cube overlap via the separating axis theorem
+// (the role of libvoxelize's tribox2.h test; written from the SAT: 3 box
+// face normals, the triangle plane normal, and the 9 edge cross products).
+// The box is centered at `c` with half extent 0.5 on each axis; triangle
+// vertices are given in the same (voxel) coordinate frame.
+static bool tri_cube_overlap(const float c[3], const float* a,
+                             const float* b, const float* d) {
+  // translate so the cube is centered at the origin
+  double v0[3], v1[3], v2[3];
+  for (int i = 0; i < 3; ++i) {
+    v0[i] = (double)a[i] - c[i];
+    v1[i] = (double)b[i] - c[i];
+    v2[i] = (double)d[i] - c[i];
+  }
+  const double h = 0.5;  // cube half size
+
+  // 1) cube face normals (x, y, z): AABB-vs-AABB on each axis
+  for (int i = 0; i < 3; ++i) {
+    double lo = std::min({v0[i], v1[i], v2[i]});
+    double hi = std::max({v0[i], v1[i], v2[i]});
+    if (lo > h || hi < -h) return false;
+  }
+
+  double e0[3], e1[3], e2[3];  // triangle edges
+  for (int i = 0; i < 3; ++i) {
+    e0[i] = v1[i] - v0[i];
+    e1[i] = v2[i] - v1[i];
+    e2[i] = v0[i] - v2[i];
+  }
+
+  // 2) triangle plane: distance from cube center to the plane vs the
+  // projected cube radius r = sum_i h*|n_i|
+  double n[3] = {e0[1] * e1[2] - e0[2] * e1[1],
+                 e0[2] * e1[0] - e0[0] * e1[2],
+                 e0[0] * e1[1] - e0[1] * e1[0]};
+  {
+    double r = h * (std::fabs(n[0]) + std::fabs(n[1]) + std::fabs(n[2]));
+    double s = n[0] * v0[0] + n[1] * v0[1] + n[2] * v0[2];
+    if (std::fabs(s) > r) return false;
+  }
+
+  // 3) nine cross-product axes: unit axis u_i x edge e_j.  For u_i = x/y/z
+  // the cross product has a zero i-th component, so each projection only
+  // involves two coordinates.  Project the three triangle vertices and the
+  // cube (radius r) onto the axis; disjoint intervals => separating axis.
+  const double* edges[3] = {e0, e1, e2};
+  for (int j = 0; j < 3; ++j) {
+    const double* e = edges[j];
+    for (int i = 0; i < 3; ++i) {
+      int i1 = (i + 1) % 3, i2 = (i + 2) % 3;
+      // axis = u_i x e = (0-block): components (i1, i2) = (-e[i2], e[i1])
+      double ax1 = -e[i2], ax2 = e[i1];
+      double p0 = ax1 * v0[i1] + ax2 * v0[i2];
+      double p1 = ax1 * v1[i1] + ax2 * v1[i2];
+      double p2 = ax1 * v2[i1] + ax2 * v2[i2];
+      double lo = std::min({p0, p1, p2});
+      double hi = std::max({p0, p1, p2});
+      double r = h * (std::fabs(ax1) + std::fabs(ax2));
+      if (lo > r || hi < -r) return false;
+    }
+  }
+  return true;
+}
+
+// Conservative voxelization: mark every voxel a triangle actually overlaps
+// (SAT triangle-cube test per candidate voxel in the triangle's AABB; the
+// role of libvoxelize's voxelize_mesh_, reference
+// reg_slices/src_convonet/utils/libvoxelize/voxelize.pyx:23-52 + tribox2.h).
+// Grid is res^3 over [0, 1]^3 with vertices given in [0, 1] coordinates.
 int s3d_voxelize(const float* verts, int64_t nv, const int64_t* faces,
                  int64_t nf, int64_t res, uint8_t* out_occ) {
   std::memset(out_occ, 0, (size_t)res * res * res);
@@ -357,16 +422,27 @@ int s3d_voxelize(const float* verts, int64_t nv, const int64_t* faces,
     const float* a = &verts[3 * faces[3 * i]];
     const float* b = &verts[3 * faces[3 * i + 1]];
     const float* c = &verts[3 * faces[3 * i + 2]];
-    int x0 = clampi((int)std::floor(std::min({a[0], b[0], c[0]}) * res));
-    int x1 = clampi((int)std::floor(std::max({a[0], b[0], c[0]}) * res));
-    int y0 = clampi((int)std::floor(std::min({a[1], b[1], c[1]}) * res));
-    int y1 = clampi((int)std::floor(std::max({a[1], b[1], c[1]}) * res));
-    int z0 = clampi((int)std::floor(std::min({a[2], b[2], c[2]}) * res));
-    int z1 = clampi((int)std::floor(std::max({a[2], b[2], c[2]}) * res));
+    // voxel-space triangle (1 voxel = unit cube)
+    float ta[3], tb[3], tc[3];
+    for (int k = 0; k < 3; ++k) {
+      ta[k] = a[k] * res;
+      tb[k] = b[k] * res;
+      tc[k] = c[k] * res;
+    }
+    int x0 = clampi((int)std::floor(std::min({ta[0], tb[0], tc[0]})));
+    int x1 = clampi((int)std::floor(std::max({ta[0], tb[0], tc[0]})));
+    int y0 = clampi((int)std::floor(std::min({ta[1], tb[1], tc[1]})));
+    int y1 = clampi((int)std::floor(std::max({ta[1], tb[1], tc[1]})));
+    int z0 = clampi((int)std::floor(std::min({ta[2], tb[2], tc[2]})));
+    int z1 = clampi((int)std::floor(std::max({ta[2], tb[2], tc[2]})));
     for (int x = x0; x <= x1; ++x)
       for (int y = y0; y <= y1; ++y)
-        for (int z = z0; z <= z1; ++z)
-          out_occ[((size_t)x * res + y) * res + z] = 1;
+        for (int z = z0; z <= z1; ++z) {
+          size_t at = ((size_t)x * res + y) * res + z;
+          if (out_occ[at]) continue;
+          float center[3] = {x + 0.5f, y + 0.5f, z + 0.5f};
+          if (tri_cube_overlap(center, ta, tb, tc)) out_occ[at] = 1;
+        }
   }
   return 0;
 }

@@ -34,7 +34,6 @@ def init_variables(model, opts: Options, seed: int = 0):
     rng = jax.random.PRNGKey(seed)
     s = opts.img_size
     qry = jnp.zeros((1, 8, 3), jnp.float32)
-    trans = jnp.eye(4, 3, dtype=jnp.float32)[None].at[2, 2].set(1.0)
     trans = jnp.asarray(np.eye(4, 3, dtype=np.float32))[None]
     if isinstance(model, SliceNetModel):
         img = jnp.zeros((1, s, s, 3), jnp.float32)

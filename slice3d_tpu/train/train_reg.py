@@ -67,7 +67,7 @@ class RegressionTrainer:
         self.eval_model = model_cls(n_slices=opts.n_slices, train_bn=False)
         self.vgg19_params = vgg19_params
         self.schedule = make_lr_schedule(
-            opts.lr, steps_per_epoch, opts.freq_decay, opts.weight_decay
+            opts.lr, steps_per_epoch, opts.freq_decay, opts.lr_decay_factor
         )
         self.tx = optax.adam(self.schedule)
         self.mesh = create_mesh()

@@ -20,6 +20,7 @@ def test_rotation_from_ortho6d_orthonormal():
         assert np.linalg.det(r) > 0.99
 
 
+@pytest.mark.slow
 def test_camnet_forward_and_loss():
     model = CameraNet()
     rng = np.random.default_rng(1)

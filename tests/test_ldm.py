@@ -39,6 +39,7 @@ def batch():
     }
 
 
+@pytest.mark.slow
 def test_train_step_updates_only_trainable(trainer, batch):
     state = trainer.init_state()
     state = trainer.maybe_set_scale(state, batch)
@@ -64,6 +65,7 @@ def test_train_step_updates_only_trainable(trainer, batch):
     assert np.abs(ema1 - ema0).max() > 0
 
 
+@pytest.mark.slow
 def test_sample_and_reconstruct_shapes(trainer, batch):
     state = trainer.init_state()
     gen = trainer.sample_slices(state, batch, ddim_steps=4, eta=1.0)
@@ -75,6 +77,7 @@ def test_sample_and_reconstruct_shapes(trainer, batch):
     assert np.isfinite(rec).all()
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path, trainer, batch):
     state = trainer.init_state()
     state, _ = trainer.train_step(state, batch, jax.random.PRNGKey(1))

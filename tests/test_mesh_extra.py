@@ -59,6 +59,28 @@ def test_iou_of_identical_spheres_is_one():
     assert occupancy_iou(a, a) == 1.0
 
 
+def test_voxelize_sat_not_aabb():
+    """A diagonal triangle's AABB covers cells the triangle never touches:
+    the SAT test must leave those empty (reference tribox2.h semantics; an
+    AABB-only marker over-marks the far corner)."""
+    from slice3d_tpu.mesh import Mesh
+
+    verts = np.array(
+        [[0.05, 0.05, 0.55], [0.95, 0.05, 0.55], [0.05, 0.95, 0.55]],
+        dtype=np.float32,
+    )
+    faces = np.array([[0, 1, 2]], dtype=np.int64)
+    occ = voxelize_mesh(Mesh(vertices=verts, faces=faces), 4)
+    z = 2  # 0.55 * 4 = 2.2 -> z-slab index 2
+    # cells along the legs are genuinely touched
+    assert occ[0, 0, z] and occ[3, 0, z] and occ[0, 3, z]
+    # the far corner cell spans x,y in [0.75,1]^2; min x+y = 1.5 > 1.0, so
+    # the hypotenuse (x + y <= 1) never reaches it — AABB would mark it
+    assert not occ[3, 3, z]
+    # nothing outside the z-slab
+    assert not occ[:, :, :z].any() and not occ[:, :, z + 1:].any()
+
+
 def test_voxelize_sphere_shell():
     mesh = sphere_mesh()
     # map vertices from [-0.5, 0.5] to [0, 1]

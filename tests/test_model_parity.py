@@ -13,6 +13,7 @@ from slice3d_tpu.convert import torch_import  # noqa: E402
 from slice3d_tpu import camera  # noqa: E402
 
 
+@pytest.mark.slow
 def test_gtslice_full_parity():
     torch.manual_seed(11)
     n_slices, hw, m = 12, 32, 33

@@ -21,6 +21,7 @@ def cam():
     )
 
 
+@pytest.mark.slow
 def test_gtslice_forward_and_split_query(cam):
     obj_rot, trans = cam
     model = GTSliceModel(n_slices=12)
@@ -40,6 +41,7 @@ def test_gtslice_forward_and_split_query(cam):
     np.testing.assert_allclose(np.asarray(sdf), np.asarray(sdf2), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_folded_query_matches_standard(cam):
     obj_rot, trans = cam
     model = GTSliceModel(n_slices=4)
@@ -64,6 +66,7 @@ def test_gtslice_test_mode_flips_yz(cam):
     np.testing.assert_allclose(np.asarray(out), [[[0.1, -0.2, -0.3]]], atol=0)
 
 
+@pytest.mark.slow
 def test_slicenet_forward(cam):
     obj_rot, trans = cam
     model = SliceNetModel(n_slices=12)
@@ -84,6 +87,7 @@ def test_slicenet_forward(cam):
     assert [p.shape[-1] for p in pyr] == [512, 256, 128, 64, 32]
 
 
+@pytest.mark.slow
 def test_gtslice_pyramid_channels(cam):
     # 1472 = 64+128+256+512+512, ref model_gt.py:98
     model = GTSliceModel(n_slices=2)

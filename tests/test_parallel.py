@@ -51,6 +51,7 @@ def test_sharded_batch_matmul_matches_single_device():
     np.testing.assert_allclose(np.asarray(out), x @ w, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entry():
     # The driver calls this with virtual CPU devices; run it in-process.
     import __graft_entry__ as ge

@@ -34,6 +34,7 @@ def test_lr_schedule_halves():
     assert sched(2000) == pytest.approx(0.75e-4)
 
 
+@pytest.mark.slow
 def test_gtslice_train_step_decreases_nothing_weird():
     opts = Options(name_model="gtslice", img_size=32, n_qry=16, n_bs=2)
     trainer = RegressionTrainer(opts, steps_per_epoch=10)
@@ -54,6 +55,7 @@ def test_gtslice_train_step_decreases_nothing_weird():
     assert moved > 0
 
 
+@pytest.mark.slow
 def test_gtslice_checkpoint_roundtrip(tmp_path):
     opts = Options(name_model="gtslice", img_size=32, n_qry=16, n_bs=2)
     trainer = RegressionTrainer(opts, steps_per_epoch=10)

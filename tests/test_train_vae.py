@@ -1,5 +1,7 @@
 """VAE finetune trainer smoke test (tiny config)."""
 
+import pytest
+
 import numpy as np
 
 import jax
@@ -7,6 +9,7 @@ import jax
 from slice3d_tpu.train.train_vae import VAEFinetuneTrainer
 
 
+@pytest.mark.slow
 def test_vae_finetune_step():
     trainer = VAEFinetuneTrainer(
         img_size=32, vae_ch=32, vae_mult=(1, 2), vae_nres=1,
