@@ -125,6 +125,10 @@ def build_module_and_trainer(cfg, scale_lr: bool):
         linear_end=module.linear_end,
         loss_type=module.loss_type,
         module=module,
+        # use_scheduler <=> a scheduler_config block is present
+        # (reference ddpm.py:562-565, 1431-1441)
+        scheduler_config=mp.get("scheduler_config"),
+        learn_logvar=bool(mp.get("learn_logvar", False)),
     )
     return module, trainer, img_size, bs
 
@@ -211,6 +215,12 @@ def main(argv=None):
                                      drop_last=False, num_workers=2)
         except (FileNotFoundError, KeyError):
             val_loader = None
+        from tensorboardX import SummaryWriter
+
+        from slice3d_tpu.train.checkpoint import TopKCheckpointer
+
+        writer = SummaryWriter(os.path.join(logdir, "tensorboard"))
+        topk = TopKCheckpointer(ckpt_dir, monitor="val/loss_simple_ema", k=3)
         rng = jax.random.PRNGKey(args.seed)
         t0 = time.time()
         step = int(state.step)
@@ -226,6 +236,11 @@ def main(argv=None):
                         print(f"step {step}: loss {float(logs['loss']):.5f} "
                               f"simple {float(logs['loss_simple']):.5f} "
                               f"({time.time() - t0:.0f}s)")
+                        # scalar parity: train/loss_simple, train/loss_vlb,
+                        # lr_abs (reference ddpm.py:358-365 + LR monitor)
+                        for k in ("loss", "loss_simple", "loss_vlb"):
+                            writer.add_scalar(f"train/{k}", float(logs[k]), step)
+                        writer.add_scalar("lr_abs", trainer.current_lr(step), step)
                     if step % args.ckpt_every == 0 or want_ckpt["flag"]:
                         want_ckpt["flag"] = False
                         trainer.save(state, os.path.join(ckpt_dir, "last.ckpt"))
@@ -238,8 +253,18 @@ def main(argv=None):
                                                use_ema=True)
                         print(f"step {step}: val/loss_simple "
                               f"{v['loss_simple']:.5f} ema {ve['loss_simple']:.5f}")
+                        writer.add_scalar("val/loss_simple", v["loss_simple"], step)
+                        writer.add_scalar("val/loss_simple_ema",
+                                          ve["loss_simple"], step)
+                        # save_last + top-3 on the monitor metric
+                        # (reference main.py:576-597)
+                        kept = topk.update(
+                            ve["loss_simple"], step, trainer.state_payload(state))
+                        if kept:
+                            print(f"saved top-k checkpoint {kept}")
                     if args.log_images_every > 0 and step % args.log_images_every == 0:
-                        # ImageLogger-style montage: GT slices + VAE recon
+                        # ImageLogger parity (reference main.py:289-399):
+                        # inputs + VAE reconstruction + DDIM-sampled montage
                         img_dir = os.path.join(logdir, "images", "train")
                         os.makedirs(img_dir, exist_ok=True)
                         rec = trainer.reconstruct_slices(state, batch)
@@ -247,6 +272,11 @@ def main(argv=None):
                                    os.path.join(img_dir, f"inputs_gs-{step:06}.png"))
                         save_image(to_uint8(slices_to_montage(rec[0])),
                                    os.path.join(img_dir, f"reconstruction_gs-{step:06}.png"))
+                        gen = trainer.sample_slices(
+                            state, batch, ddim_steps=args.ddim_steps,
+                            eta=args.ddim_eta, rng=jax.random.PRNGKey(step))
+                        save_image(to_uint8(slices_to_montage(gen[0])),
+                                   os.path.join(img_dir, f"samples_gs-{step:06}.png"))
                     if args.max_steps > 0 and step >= args.max_steps:
                         trainer.save(state, os.path.join(ckpt_dir, "last.ckpt"))
                         return

@@ -119,9 +119,13 @@ class LatentDiffusion(nn.Module):
     # -- conditioning ------------------------------------------------------
 
     def build_cond(self, z13: jnp.ndarray, img_input: jnp.ndarray,
-                   scale_factor: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-        """z13: (B, 13, h, w, 4) UNSCALED latents; img_input: (B, H, W, 3)."""
-        fmaps = self.cond_stage(img_input)
+                   scale_factor: jnp.ndarray,
+                   train: Optional[bool] = None) -> Dict[str, jnp.ndarray]:
+        """z13: (B, 13, h, w, 4) UNSCALED latents; img_input: (B, H, W, 3).
+
+        ``train=True`` runs the cond-stage VGG BatchNorms on batch stats
+        (reference trains the conditioner in train mode, ddpm.py:604-623)."""
+        fmaps = self.cond_stage(img_input, train=train)
         c_concat = jnp.tile(z13[:, 12] * scale_factor, (1, 4, 4, 1))
         return {"c_concat": c_concat, "c_fmaps": fmaps}
 

@@ -27,13 +27,19 @@ class CondImageEncoder(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, img: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-        """img: (B, H, W, 3) in [-1, 1] -> {'f1'..'f5'} atlas-tiled maps."""
+    def __call__(self, img: jnp.ndarray,
+                 train: Optional[bool] = None) -> Dict[str, jnp.ndarray]:
+        """img: (B, H, W, 3) in [-1, 1] -> {'f1'..'f5'} atlas-tiled maps.
+
+        ``train=True`` runs the VGG BatchNorms on batch statistics and
+        updates ``batch_stats`` (the reference trains the cond stage in
+        train mode, ddpm.py:604-623); default follows ``self.train_bn``.
+        """
         x = imagenet_renorm(img)
         taps, _ = VGG16BNBackbone(
             with_final=False, train_bn=self.train_bn,
             axis_name=self.axis_name, dtype=self.dtype, name="backbone",
-        )(x)
+        )(x, train=train)
         out = {}
         for i, (tap, width) in enumerate(zip(taps, self.widths)):
             size = max(self.latent_size >> i, 1)

@@ -61,7 +61,9 @@ class VGG16BNBackbone(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x) -> Tuple[Sequence[jnp.ndarray], Optional[jnp.ndarray]]:
+    def __call__(self, x, train: Optional[bool] = None
+                 ) -> Tuple[Sequence[jnp.ndarray], Optional[jnp.ndarray]]:
+        train_bn = self.train_bn if train is None else train
         taps = []
         idx = 0
         for stage, widths in enumerate(_VGG16_STAGES):
@@ -72,7 +74,7 @@ class VGG16BNBackbone(nn.Module):
                 if j + 1 == len(widths):
                     taps.append(x)  # pre-BN tap, matching the reference cut
                 x = BatchNorm(
-                    use_running_average=not self.train_bn,
+                    use_running_average=not train_bn,
                     axis_name=self.axis_name,
                     dtype=self.dtype,
                     name=f"bn{idx}",

@@ -18,7 +18,8 @@ import jax
 import numpy as np
 from flax import serialization
 
-__all__ = ["save_checkpoint", "restore_checkpoint", "latest_checkpoint"]
+__all__ = ["save_checkpoint", "restore_checkpoint", "latest_checkpoint",
+           "TopKCheckpointer"]
 
 
 def _to_host(tree):
@@ -52,3 +53,42 @@ def latest_checkpoint(ckpt_dir: str, pattern: str = "*.ckpt") -> Optional[str]:
     if not files:
         return None
     return max(files, key=os.path.getmtime)
+
+
+class TopKCheckpointer:
+    """Keep the k best checkpoints by a monitored metric (+ ``last.ckpt``).
+
+    Mirrors the reference ModelCheckpoint setup (gen_slices/main.py:576-597):
+    ``save_top_k=3`` on ``model.monitor`` (``val/loss_simple_ema``), min
+    mode, plus an always-updated ``last.ckpt``.  Filenames carry the step
+    and metric so ``ls`` shows training health, matching the reference's
+    metric-in-filename convention.
+    """
+
+    def __init__(self, ckpt_dir: str, monitor: str = "val/loss_simple_ema",
+                 k: int = 3, mode: str = "min"):
+        assert mode in ("min", "max")
+        self.ckpt_dir = ckpt_dir
+        self.monitor = monitor
+        self.k = k
+        self.mode = mode
+        self.best: list = []  # [(score, path)] sorted best-first
+
+    def update(self, value: float, step: int, state: Dict[str, Any]) -> Optional[str]:
+        """Save ``state`` if ``value`` ranks in the top k. Returns the path."""
+        score = value if self.mode == "min" else -value
+        if len(self.best) >= self.k and score >= self.best[-1][0]:
+            return None
+        tag = self.monitor.replace("/", "_")
+        path = os.path.join(
+            self.ckpt_dir, f"step={step:06d}-{tag}={value:.5f}.ckpt")
+        save_checkpoint(path, state)
+        self.best.append((score, path))
+        self.best.sort(key=lambda t: t[0])
+        while len(self.best) > self.k:
+            _, worst = self.best.pop()
+            try:
+                os.remove(worst)
+            except OSError:
+                pass
+        return path

@@ -27,6 +27,7 @@ from ..diffusion.ddim import ddim_sample
 from ..models.ema import ema_update
 from ..parallel import create_mesh, put_batch
 from .checkpoint import restore_checkpoint, save_checkpoint
+from .lr_schedules import from_scheduler_config
 
 __all__ = ["LDMTrainState", "LDMTrainer"]
 
@@ -63,6 +64,9 @@ class LDMTrainer:
         scale_by_std: bool = True,
         accumulate: int = 1,
         module: Optional[LatentDiffusion] = None,
+        scheduler_config: Optional[Dict[str, Any]] = None,
+        learn_logvar: bool = False,
+        cond_train_bn: bool = True,
     ):
         self.module = module if module is not None else LatentDiffusion(
             timesteps=timesteps, linear_start=linear_start, linear_end=linear_end,
@@ -77,9 +81,24 @@ class LDMTrainer:
         self.use_ema = use_ema
         self.scale_by_std = scale_by_std
         self.loss_type = loss_type
+        self.learn_logvar = learn_logvar
+        self.cond_train_bn = cond_train_bn
         ndev = max(jax.device_count(), 1)
         self.lr = (accumulate * ndev * batch_size * base_lr) if scale_lr else base_lr
-        self.tx = optax.masked(optax.adamw(self.lr), _trainable_mask)
+        # use_scheduler semantics (reference ddpm.py:1431-1441): a present
+        # scheduler_config wraps AdamW in a per-step LR-multiplier LambdaLR.
+        self.lr_multiplier = from_scheduler_config(scheduler_config)
+        if self.lr_multiplier is not None:
+            lr_fn = lambda step: self.lr * self.lr_multiplier(step)  # noqa: E731
+        else:
+            lr_fn = self.lr
+        # one optimizer over {net params, logvar}: the mask freezes the VAE
+        # subtree always and logvar unless learn_logvar (ddpm.py:1420-1429)
+        self.tx = optax.masked(
+            optax.adamw(lr_fn),
+            lambda tree: {"net": _trainable_mask(tree["net"]),
+                          "logvar": learn_logvar},
+        )
         self.mesh = create_mesh()
         self._train_step = jax.jit(self._step_impl, donate_argnums=(0,))
         self._compute_scale = jax.jit(self._scale_impl)
@@ -106,11 +125,12 @@ class LDMTrainer:
         variables = nn_init_helper(self.module, rng, init_all)
         params = variables["params"]
         stats = variables.get("batch_stats", {})
+        logvar = jnp.zeros((self.schedule.num_timesteps,), jnp.float32)
         return LDMTrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
             batch_stats=stats,
-            opt_state=self.tx.init(params),
+            opt_state=self.tx.init({"net": params, "logvar": logvar}),
             # copy (not alias) params so buffer donation stays sound
             ema_params=jax.tree_util.tree_map(
                 jnp.array, _trainable_subtree(params)
@@ -140,16 +160,19 @@ class LDMTrainer:
     def _step_impl(self, state: LDMTrainState, batch, rng):
         rng_enc, rng_loss = jax.random.split(rng)
 
-        def loss_fn(params):
-            variables = {"params": params, "batch_stats": state.batch_stats}
+        def loss_fn(tree):
+            variables = {"params": tree["net"], "batch_stats": state.batch_stats}
             z13 = self.module.apply(
                 variables, batch["image"], rng_enc, True,
                 method=LatentDiffusion.encode_images,
             )
             z13 = jax.lax.stop_gradient(z13)
-            cond = self.module.apply(
+            # cond-stage VGG runs in train mode: BN uses batch statistics
+            # and updates running stats (reference ddpm.py:604-623)
+            cond, mutated = self.module.apply(
                 variables, z13, batch["img_ipt_view"], state.scale_factor,
-                method=LatentDiffusion.build_cond,
+                self.cond_train_bn, method=LatentDiffusion.build_cond,
+                mutable=["batch_stats"],
             )
             atlas = self.module.apply(
                 variables, z13, state.scale_factor,
@@ -157,28 +180,40 @@ class LDMTrainer:
             )
             loss, logs = p_losses(
                 self.module, variables, self.schedule, rng_loss, atlas, cond,
-                logvar=state.logvar, loss_type=self.loss_type,
+                logvar=tree["logvar"], loss_type=self.loss_type,
             )
-            return loss, logs
+            return loss, (logs, mutated.get("batch_stats", {}))
 
-        (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        tree = {"net": state.params, "logvar": state.logvar}
+        (_, (logs, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(tree)
+        updates, new_opt = self.tx.update(grads, state.opt_state, tree)
+        new_tree = optax.apply_updates(tree, updates)
+        new_params, new_logvar = new_tree["net"], new_tree["logvar"]
         new_ema = state.ema_params
         if self.use_ema:
             new_ema = ema_update(
                 state.ema_params, _trainable_subtree(new_params), state.step
             )
+        batch_stats = _merge_stats(state.batch_stats, new_stats) \
+            if self.cond_train_bn else state.batch_stats
         return (
             state.replace(
                 step=state.step + 1, params=new_params,
-                opt_state=new_opt, ema_params=new_ema,
+                batch_stats=batch_stats, opt_state=new_opt,
+                ema_params=new_ema, logvar=new_logvar,
             ),
             logs,
         )
 
     def train_step(self, state: LDMTrainState, batch, rng):
         return self._train_step(state, put_batch(batch, self.mesh), rng)
+
+    def current_lr(self, step: int) -> float:
+        """Effective LR at ``step`` (for logging / LearningRateMonitor parity)."""
+        if self.lr_multiplier is None:
+            return float(self.lr)
+        return float(self.lr * self.lr_multiplier(step))
 
     # -- validation -------------------------------------------------------
 
@@ -278,15 +313,18 @@ class LDMTrainer:
 
     # -- checkpoint ---------------------------------------------------------------
 
-    def save(self, state: LDMTrainState, path: str) -> str:
-        return save_checkpoint(path, {
+    def state_payload(self, state: LDMTrainState) -> Dict[str, Any]:
+        return {
             "variables": {"params": state.params, "batch_stats": state.batch_stats},
             "opt_state": state.opt_state,
             "ema_params": state.ema_params,
             "scale_factor": state.scale_factor,
             "logvar": state.logvar,
             "step": int(state.step),
-        })
+        }
+
+    def save(self, state: LDMTrainState, path: str) -> str:
+        return save_checkpoint(path, self.state_payload(state))
 
     def restore(self, state: LDMTrainState, path: str) -> LDMTrainState:
         target = {
@@ -307,6 +345,15 @@ class LDMTrainer:
             logvar=jnp.asarray(payload["logvar"]),
             step=jnp.asarray(payload["step"], jnp.int32),
         )
+
+
+def _merge_stats(stats, updated):
+    """Overlay mutated batch_stats entries onto the full collection."""
+    if not updated:
+        return stats
+    flat = traverse_util.flatten_dict(dict(stats))
+    flat.update(traverse_util.flatten_dict(dict(updated)))
+    return traverse_util.unflatten_dict(flat)
 
 
 def _trainable_subtree(params):

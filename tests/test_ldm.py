@@ -89,3 +89,53 @@ def test_checkpoint_roundtrip(tmp_path, trainer, batch):
         np.asarray(state.params["model"]["input_0_0"]["kernel"]),
     )
     assert int(restored.step) == int(state.step)
+
+
+@pytest.mark.slow
+def test_learn_logvar_and_scheduler_and_bn():
+    """learn_logvar trains logvar, scheduler drives the lr, cond-stage BN
+    batch stats update during training (reference ddpm.py:562-565,604-623,
+    1420-1442)."""
+    sched = {
+        "target": "ldm.lr_scheduler.LambdaLinearScheduler",
+        "params": {"warm_up_steps": [2], "f_min": [1.0], "f_max": [1.0],
+                   "f_start": [1e-6], "cycle_lengths": [1000]},
+    }
+    tr = LDMTrainer(
+        img_size=IMG, batch_size=2, timesteps=20, module=tiny_module(),
+        scheduler_config=sched, learn_logvar=True, scale_by_std=False,
+    )
+    rng = np.random.default_rng(1)
+    b = {
+        "image": rng.normal(size=(2, 13, IMG, IMG, 3)).astype(np.float32).clip(-1, 1),
+        "img_ipt_view": rng.normal(size=(2, IMG, IMG, 3)).astype(np.float32).clip(-1, 1),
+    }
+    state = tr.init_state()
+    lv0 = np.asarray(state.logvar).copy()
+    bn0 = np.asarray(
+        jax.tree_util.tree_leaves(state.batch_stats)[0]).copy()
+    state, _ = tr.train_step(state, b, jax.random.PRNGKey(0))
+    state, _ = tr.train_step(state, b, jax.random.PRNGKey(1))
+    assert np.abs(np.asarray(state.logvar) - lv0).max() > 0
+    bn1 = np.asarray(jax.tree_util.tree_leaves(state.batch_stats)[0])
+    assert np.abs(bn1 - bn0).max() > 0
+    # warmup: effective lr at step 0 is ~0, grows by step 2
+    assert tr.current_lr(0) < tr.current_lr(2) * 1e-3
+    assert abs(tr.current_lr(2) - tr.lr) < 1e-9
+
+
+def test_topk_checkpointer(tmp_path):
+    from slice3d_tpu.train.checkpoint import TopKCheckpointer
+
+    ck = TopKCheckpointer(str(tmp_path), monitor="val/loss_simple_ema", k=2)
+    assert ck.update(1.0, 1, {"step": 1}) is not None
+    assert ck.update(2.0, 2, {"step": 2}) is not None
+    assert ck.update(3.0, 3, {"step": 3}) is None  # worse than the k kept
+    p = ck.update(0.5, 4, {"step": 4})
+    assert p is not None and "0.50000" in p
+    import os
+
+    kept = sorted(os.listdir(tmp_path))
+    assert len(kept) == 2
+    assert any("step=000004" in k for k in kept)
+    assert any("step=000001" in k for k in kept)

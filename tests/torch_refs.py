@@ -401,3 +401,137 @@ def randomize_bn_stats(module, seed=0):
             m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=g) * 0.1)
             m.running_var.copy_(torch.rand(m.running_var.shape, generator=g) + 0.5)
     return module
+
+
+# ---------------------------------------------------------------------------
+# Torch twin of the full SliceNet regression model (reference
+# reg_slices/src/models.py:12-94 + src/unet_custom.py:4-69 +
+# src/unet_parts.py:8-84), state-dict compatible with
+# torch_import.slicenet_model.  The VGG perceptual loss term is omitted
+# (covered by its own parity test).
+
+
+class TDoubleConvU(nn.Module):
+    """unet_parts.DoubleConv: (conv3x3 no-bias -> BN -> ReLU) x 2."""
+
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.double_conv = nn.Sequential(
+            nn.Conv2d(cin, cout, 3, padding=1, bias=False),
+            nn.BatchNorm2d(cout), nn.ReLU(inplace=True),
+            nn.Conv2d(cout, cout, 3, padding=1, bias=False),
+            nn.BatchNorm2d(cout), nn.ReLU(inplace=True),
+        )
+
+    def forward(self, x):
+        return self.double_conv(x)
+
+
+class TUpU(nn.Module):
+    """unet_parts.Up with bilinear=False."""
+
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.up = nn.ConvTranspose2d(cin, cin // 2, kernel_size=2, stride=2)
+        self.conv = TDoubleConvU(cin, cout)
+
+    def forward(self, x1, x2):
+        x1 = self.up(x1)
+        return self.conv(torch.cat([x2, x1], dim=1))
+
+
+class TOutConv(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.conv = nn.Conv2d(cin, cout, kernel_size=1)
+        self.act = nn.Tanh()
+
+    def forward(self, x):
+        return self.act(self.conv(x))
+
+
+class TorchSliceUNetRef(nn.Module):
+    """unet_custom.UNet twin (reference key naming under slices_generator)."""
+
+    def __init__(self, n_slices=12, dim_embed=128):
+        super().__init__()
+        self.n_slices = n_slices
+        self.dim_embed = dim_embed
+        feats = vgg16_bn_features()
+        self.down1 = feats[:4]
+        self.down2 = feats[4:11]
+        self.down3 = feats[11:21]
+        self.down4 = feats[21:31]
+        self.down5 = feats[31:41]
+        self.down5_ = feats[41:44]
+        self.trans_c = nn.Conv2d(512 + dim_embed, 512, 1)
+        self.up1 = TUpU(512, 256)
+        self.trans_up1 = nn.Conv2d(512, 256, 1)
+        self.up2 = TUpU(256, 128)
+        self.trans_up2 = nn.Conv2d(256, 128, 1)
+        self.up3 = TUpU(128, 64)
+        self.trans_up3 = nn.Conv2d(128, 64, 1)
+        self.up4 = TUpU(64, 32)
+        self.trans_up4 = nn.Conv2d(64, 32, 1)
+        self.outc = TOutConv(32, 3)
+        self.emds = nn.Embedding(n_slices, dim_embed)
+
+    def expand_bs(self, x):
+        b, c, h, w = x.shape
+        return (x.view(b, 1, c, h, w).expand(-1, self.n_slices, -1, -1, -1)
+                .reshape(b * self.n_slices, c, h, w))
+
+    def forward(self, x):
+        x1 = self.down1(x)
+        x2 = self.down2(x1.clone())
+        x3 = self.down3(x2.clone())
+        x4 = self.down4(x3.clone())
+        x5 = self.down5(x4.clone())
+        _ = self.down5_(x5.clone())  # computed in the reference, unused
+
+        b, _, h5, w5 = x5.shape
+        embs = (self.emds.weight.view(1, self.n_slices, self.dim_embed, 1, 1)
+                .expand(b, -1, -1, h5, w5)
+                .reshape(b * self.n_slices, self.dim_embed, h5, w5))
+        latent = self.trans_c(torch.cat([self.expand_bs(x5), embs], 1))
+        feats = [latent]
+        h = self.up1(latent, self.trans_up1(self.expand_bs(x4)))
+        feats.append(h)
+        h = self.up2(h, self.trans_up2(self.expand_bs(x3)))
+        feats.append(h)
+        h = self.up3(h, self.trans_up3(self.expand_bs(x2)))
+        feats.append(h)
+        h = self.up4(h, self.trans_up4(self.expand_bs(x1)))
+        feats.append(h)
+        return feats, self.outc(h)
+
+
+class TorchSliceNetRef(nn.Module):
+    """Slices3DRegModel twin: returns (sdf (B, M), slices (B*S, 3, H, W))."""
+
+    def __init__(self, n_slices=12):
+        super().__init__()
+        self.n_slices = n_slices
+        self.slices_generator = TorchSliceUNetRef(n_slices)
+        layer = nn.TransformerEncoderLayer(d_model=128, nhead=4, batch_first=True)
+        self.att_decoder = nn.TransformerEncoder(layer, num_layers=3)
+        self.fc_p = nn.Linear(3, 128)
+        self.fc_s = nn.Linear(992, 128)
+        self.fc_out = nn.Sequential(nn.Linear(128, 1))
+
+    def forward(self, img_input, qry_rot, trans_mat_tp):
+        b = img_input.shape[0]
+        m = qry_rot.shape[1]
+        s = self.n_slices
+        feats, slices_rec = self.slices_generator(img_input)
+
+        uv = project_coord(qry_rot, trans_mat_tp)
+        uv = uv.view(b, 1, m, 2).expand(-1, s, -1, -1).reshape(b * s, m, 2)
+        local = torch.cat([sample_planes(f, uv) for f in feats], dim=2)
+        local = (local.view(b, s, m, 992).permute(0, 2, 1, 3)
+                 .reshape(b * m, s, 992))
+
+        feat_q = self.fc_p(qry_rot).view(b * m, 1, 128)
+        tokens = torch.cat([feat_q, self.fc_s(local)], dim=1)
+        out = self.att_decoder(tokens).view(b, m, s + 1, 128)[:, :, 0, :]
+        return self.fc_out(out).squeeze(-1), slices_rec
