@@ -67,6 +67,7 @@ class LDMTrainer:
         scheduler_config: Optional[Dict[str, Any]] = None,
         learn_logvar: bool = False,
         cond_train_bn: bool = True,
+        mesh=None,
     ):
         self.module = module if module is not None else LatentDiffusion(
             timesteps=timesteps, linear_start=linear_start, linear_end=linear_end,
@@ -99,9 +100,10 @@ class LDMTrainer:
             lambda tree: {"net": _trainable_mask(tree["net"]),
                           "logvar": learn_logvar},
         )
-        self.mesh = create_mesh()
+        self.mesh = mesh if mesh is not None else create_mesh()
         self._train_step = jax.jit(self._step_impl, donate_argnums=(0,))
         self._compute_scale = jax.jit(self._scale_impl)
+        self._eval_step = jax.jit(self._eval_impl)
 
     # -- init ---------------------------------------------------------------
 
@@ -241,8 +243,6 @@ class LDMTrainer:
                   use_ema: bool = True) -> Dict[str, float]:
         """Validation losses; with use_ema the EMA weights are evaluated
         (reference logs both as val/loss_simple and val/loss_simple_ema)."""
-        if not hasattr(self, "_eval_step"):
-            self._eval_step = jax.jit(self._eval_impl)
         params = state.params
         if use_ema and self.use_ema:
             params = _merge_trainable(params, state.ema_params)
