@@ -500,3 +500,29 @@ def vgg19_features(sd: Mapping, prefix: str = "features") -> Dict:
     for i, fi in enumerate(_VGG19_CONV_IDX):
         params[f"conv{i}"] = conv_params(sd, _key(prefix, str(fi)))
     return {"params": params}
+
+
+# torch vgg16 (no BN) conv indices within the `features` Sequential, and the
+# same convs' indices inside the taming lpips `vgg16` slice wrapper (which
+# keeps the original numbering: net.slice1.0, net.slice1.2, net.slice2.5...)
+_VGG16_CONV_IDX = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+_LPIPS_SLICE_OF_CONV = (1, 1, 2, 2, 3, 3, 3, 4, 4, 4, 5, 5, 5)
+
+
+def lpips_model(sd: Mapping) -> Dict:
+    """taming/richzhang LPIPS (vgg) state dict -> LPIPS module params.
+
+    Expects keys ``net.slice{k}.{i}.weight`` for the VGG16 convs and
+    ``lin{k}.model.1.weight`` for the five 1x1 lin heads (reference
+    contperceptual.py:17 -> taming lpips.LPIPS).
+    """
+    sd = to_numpy(sd)
+    net = {}
+    for i, (fi, sl) in enumerate(zip(_VGG16_CONV_IDX, _LPIPS_SLICE_OF_CONV)):
+        net[f"conv{i}"] = conv_params(sd, f"net.slice{sl}.{fi}")
+    params = {"net": net}
+    for k in range(5):
+        params[f"lin{k}"] = {
+            "kernel": conv_kernel(np.asarray(sd[f"lin{k}.model.1.weight"]))
+        }
+    return {"params": params}

@@ -29,6 +29,7 @@ from ..models.discriminator import (
     generator_loss,
     hinge_d_loss,
 )
+from ..models.lpips import lpips_distance
 from ..models.perceptual import perceptual_loss
 from ..models.vae import AutoencoderKL, DiagonalGaussian
 from ..parallel import create_mesh, put_batch
@@ -59,6 +60,7 @@ class VAEFinetuneTrainer:
         vae_mult=(1, 2, 4, 4),
         vae_nres: int = 2,
         vgg19_params=None,
+        lpips_params=None,
     ):
         self.vae = AutoencoderKL(ch=vae_ch, ch_mult=vae_mult, num_res_blocks=vae_nres)
         self.disc = NLayerDiscriminator(train_bn=True)
@@ -69,6 +71,7 @@ class VAEFinetuneTrainer:
         self.disc_start = disc_start
         self.disc_factor = disc_factor
         self.vgg19_params = vgg19_params
+        self.lpips_params = lpips_params
         self.tx = optax.adam(lr, b1=0.5, b2=0.9)
         self.tx_d = optax.adam(lr, b1=0.5, b2=0.9)
         self.mesh = create_mesh()
@@ -97,13 +100,27 @@ class VAEFinetuneTrainer:
         x = batch["image"]
         gan_on = (state.step >= self.disc_start).astype(jnp.float32) * self.disc_factor
 
-        def ae_loss_fn(params):
-            rec, moments = self._reconstruct(params, x, rng)
+        def nll_of(params, rec):
+            """Reconstruction NLL.  With LPIPS weights: the reference's
+            exact form sum(|x-rec| + w*lpips)/B with logvar_init=0
+            (contperceptual.py:49-60; the VAE optimizer never trains
+            logvar, autoencoder.py:442-448).  Without: mean-scaled L1 +
+            VGG19-tap fallback."""
+            if self.lpips_params is not None and self.perceptual_weight > 0:
+                p = lpips_distance(self.lpips_params, x, rec)
+                per_pix = jnp.abs(rec - x) + self.perceptual_weight * p[
+                    :, None, None, None]
+                return jnp.sum(per_pix) / x.shape[0]
             nll = jnp.mean(jnp.abs(rec - x))
             if self.vgg19_params is not None and self.perceptual_weight > 0:
                 nll = nll + self.perceptual_weight * perceptual_loss(
                     self.vgg19_params, rec, x
                 )
+            return nll
+
+        def ae_loss_fn(params):
+            rec, moments = self._reconstruct(params, x, rng)
+            nll = nll_of(params, rec)
             kl = jnp.mean(DiagonalGaussian(moments).kl())
             logits_fake, _ = self.eval_disc.apply(
                 {"params": state.disc_params, "batch_stats": state.disc_stats},
@@ -118,7 +135,7 @@ class VAEFinetuneTrainer:
                 p = jax.tree_util.tree_map(lambda v: v, params)
                 p["decoder"]["conv_out"]["kernel"] = k
                 rec2, _ = self._reconstruct(p, x, rng)
-                return jnp.mean(jnp.abs(rec2 - x))
+                return nll_of(p, rec2)
 
             def g_of_last(k):
                 p = jax.tree_util.tree_map(lambda v: v, params)

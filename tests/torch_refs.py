@@ -535,3 +535,62 @@ class TorchSliceNetRef(nn.Module):
         tokens = torch.cat([feat_q, self.fc_s(local)], dim=1)
         out = self.att_decoder(tokens).view(b, m, s + 1, 128)[:, :, 0, :]
         return self.fc_out(out).squeeze(-1), slices_rec
+
+
+# ---------------------------------------------------------------------------
+# Torch twin of the taming/richzhang LPIPS (vgg variant), state-dict
+# compatible with torch_import.lpips_model.
+
+
+class TLPIPSVGG16(nn.Module):
+    """vgg16 slice wrapper keeping torchvision feature indices."""
+
+    def __init__(self):
+        super().__init__()
+        feats = make_features(VGG16_CFG, batch_norm=False)
+        bounds = [(0, 4), (4, 9), (9, 16), (16, 23), (23, 30)]
+        for k, (a, b) in enumerate(bounds):
+            sl = nn.Sequential()
+            for i in range(a, b):
+                sl.add_module(str(i), feats[i])
+            setattr(self, f"slice{k + 1}", sl)
+
+    def forward(self, x):
+        outs = []
+        for k in range(5):
+            x = getattr(self, f"slice{k + 1}")(x)
+            outs.append(x.clone())
+        return outs
+
+
+class TNetLin(nn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.model = nn.Sequential(nn.Dropout(), nn.Conv2d(cin, 1, 1, bias=False))
+
+
+class TLPIPS(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.register_buffer(
+            "shift", torch.tensor([-0.030, -0.088, -0.188])[None, :, None, None])
+        self.register_buffer(
+            "scale", torch.tensor([0.458, 0.448, 0.450])[None, :, None, None])
+        self.net = TLPIPSVGG16()
+        for k, c in enumerate([64, 128, 256, 512, 512]):
+            setattr(self, f"lin{k}", TNetLin(c))
+
+    @staticmethod
+    def _normalize(t, eps=1e-10):
+        n = torch.sqrt(torch.sum(t * t, dim=1, keepdim=True))
+        return t / (n + eps)
+
+    def forward(self, x, y):
+        x = (x - self.shift) / self.scale
+        y = (y - self.shift) / self.scale
+        tx, ty = self.net(x), self.net(y)
+        val = 0
+        for k in range(5):
+            d = (self._normalize(tx[k]) - self._normalize(ty[k])) ** 2
+            val = val + getattr(self, f"lin{k}").model(d).mean(dim=(2, 3), keepdim=True)
+        return val  # (B, 1, 1, 1)
