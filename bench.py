@@ -1,10 +1,12 @@
 #!/usr/bin/env python
-"""Benchmark: single RGBA image -> 12 slices -> 64^3 SDF grid -> mesh.
+"""Benchmark: single RGBA image -> 12 slices -> SDF grid -> mesh.
 
-BASELINE.json config 1, the headline path.  Measures end-to-end p50 latency
-(device encode + chunked SDF queries + native marching on host) on whatever
-accelerator JAX exposes.  North-star target: 2.0 s p50 (BASELINE.md), so
-``vs_baseline = 2.0 / p50`` (>1 means the target is met).
+BASELINE.json config 1, the headline path, at the reference's FULL-QUALITY
+operating point (`mc_res0 64 --mc_up_steps 2` = 256^3-effective,
+reference options.py:45-48).  Measures end-to-end p50 latency (device
+encode + chunked SDF queries + native marching on host).  North-star
+target: 2.0 s p50 (BASELINE.md), so ``vs_baseline = 2.0 / p50`` (>1 means
+the target is met).  ``bench_all.py`` covers BASELINE configs 2-5.
 
 Prints ONE JSON line.
 """
@@ -30,7 +32,7 @@ def main():
 
     repeats = int(os.environ.get("BENCH_REPEATS", "5"))
     res0 = int(os.environ.get("BENCH_RES0", "64"))
-    up_steps = int(os.environ.get("BENCH_UP_STEPS", "0"))
+    up_steps = int(os.environ.get("BENCH_UP_STEPS", "2"))
     chunk = int(os.environ.get("BENCH_CHUNK", "65536"))
 
     opts = Options(name_model="slicenet", img_size=128, dtype="bfloat16",

@@ -46,30 +46,45 @@ static const int kCornerOff[8][3] = {
     {0, 0, 1}, {1, 0, 1}, {1, 1, 1}, {0, 1, 1},
 };
 
+// Edge "class" of a canonical lattice edge: the componentwise-nonnegative
+// offset from its lower corner.  The Kuhn 6-tet subdivision only ever uses
+// these 7 directions, so a vertex is addressed directly by
+// (lower corner, class) — no hash map.
+static inline int edge_class(int dx, int dy, int dz) {
+  // (1,0,0)=0 (0,1,0)=1 (0,0,1)=2 (1,1,0)=3 (0,1,1)=4 (1,0,1)=5 (1,1,1)=6
+  static const int lut[2][2][2] = {{{-1, 2}, {1, 4}}, {{0, 5}, {3, 6}}};
+  return lut[dx][dy][dz];
+}
+
 class IsoExtractor {
  public:
   IsoExtractor(const float* grid, int64_t nx, int64_t ny, int64_t nz, float iso)
-      : g_(grid), nx_(nx), ny_(ny), nz_(nz), iso_(iso) {}
+      : g_(grid), nx_(nx), ny_(ny), nz_(nz), iso_(iso) {
+    slab_stride_ = (ny_ + 1) * (nz_ + 1) * 7;
+    for (int s = 0; s < 2; ++s) {
+      slab_[s].assign(slab_stride_, 0);
+      stamp_[s].assign(slab_stride_, 0);
+      gen_[s] = 0;  // stamp 0 == invalid; slabs are stamped per x-advance
+    }
+  }
 
   inline float val(int64_t x, int64_t y, int64_t z) const {
     return g_[(x * ny_ + y) * nz_ + z];
   }
-  inline int64_t vid(int64_t x, int64_t y, int64_t z) const {
-    return (x * (ny_ + 1) + y) * (nz_ + 1) + z;  // unique lattice id space
-  }
 
-  // Vertex on the iso-crossing of lattice edge (a -> b), deduplicated.
+  // Vertex on the iso-crossing of lattice edge (a -> b), deduplicated via
+  // direct addressing into the two rolling x-slabs.
   int edge_vertex(int64_t ax, int64_t ay, int64_t az, float va,
                   int64_t bx, int64_t by, int64_t bz, float vb) {
-    int64_t ida = vid(ax, ay, az), idb = vid(bx, by, bz);
-    if (ida > idb) {
-      std::swap(ida, idb);
+    if (ax > bx || (ax == bx && (ay > by || (ay == by && az > bz)))) {
       std::swap(ax, bx); std::swap(ay, by); std::swap(az, bz);
       std::swap(va, vb);
     }
-    uint64_t key = (static_cast<uint64_t>(ida) << 32) ^ static_cast<uint64_t>(idb);
-    auto it = edge_map_.find(key);
-    if (it != edge_map_.end()) return it->second;
+    int cls = edge_class(static_cast<int>(bx - ax), static_cast<int>(by - ay),
+                         static_cast<int>(bz - az));
+    int s = static_cast<int>(ax & 1);
+    int64_t off = (ay * (nz_ + 1) + az) * 7 + cls;
+    if (stamp_[s][off] == gen_[s]) return slab_[s][off];
     float denom = vb - va;
     float t = (std::fabs(denom) > 1e-30f) ? (iso_ - va) / denom : 0.5f;
     t = std::min(1.0f, std::max(0.0f, t));
@@ -78,7 +93,8 @@ class IsoExtractor {
             static_cast<float>(az) + t * (bz - az)};
     int idx = static_cast<int>(verts_.size());
     verts_.push_back(p);
-    edge_map_.emplace(key, idx);
+    slab_[s][off] = idx;
+    stamp_[s][off] = gen_[s];
     return idx;
   }
 
@@ -140,56 +156,62 @@ class IsoExtractor {
 
   void run() {
     const float iso = iso_;
-    // First pass: count active cells so the edge hash allocates once
-    // (noise-like fields otherwise rehash tens of millions of entries).
-    int64_t active = 0;
+    // Precompute per-lattice-point sign bytes (one vectorizable pass);
+    // the cell scan then straddle-tests 8 z-cells at a time with uint64
+    // loads instead of re-comparing 8 floats per cell.
+    const int64_t npts = nx_ * ny_ * nz_;
+    std::vector<uint8_t> sign(static_cast<size_t>(npts) + 8, 0);
+    for (int64_t i = 0; i < npts; ++i) sign[i] = g_[i] > iso ? 1 : 0;
+
+    auto load8 = [](const uint8_t* p) {
+      uint64_t w;
+      std::memcpy(&w, p, 8);
+      return w;
+    };
+
+    ++gen_[0];  // open the slab for lower-corner x = 0
     for (int64_t x = 0; x + 1 < nx_; ++x) {
-      for (int64_t y = 0; y + 1 < ny_; ++y) {
-        const float* c0 = &g_[((x) * ny_ + y) * nz_];
-        const float* c1 = &g_[((x) * ny_ + y + 1) * nz_];
-        const float* c2 = &g_[((x + 1) * ny_ + y) * nz_];
-        const float* c3 = &g_[((x + 1) * ny_ + y + 1) * nz_];
-        for (int64_t z = 0; z + 1 < nz_; ++z) {
-          bool in0 = c0[z] > iso;
-          bool same = (c0[z + 1] > iso) == in0 && (c1[z] > iso) == in0 &&
-                      (c1[z + 1] > iso) == in0 && (c2[z] > iso) == in0 &&
-                      (c2[z + 1] > iso) == in0 && (c3[z] > iso) == in0 &&
-                      (c3[z + 1] > iso) == in0;
-          active += !same;
-        }
-      }
-    }
-    edge_map_.reserve(static_cast<size_t>(active) * 4 + 64);
-    verts_.reserve(static_cast<size_t>(active) * 2 + 64);
-    faces_.reserve(static_cast<size_t>(active) * 12 + 64);
-    for (int64_t x = 0; x + 1 < nx_; ++x) {
+      ++gen_[(x + 1) & 1];  // slab for lower-corner x+1: fresh generation
       for (int64_t y = 0; y + 1 < ny_; ++y) {
         const float* col0 = &g_[((x) * ny_ + y) * nz_];
         const float* col1 = &g_[((x) * ny_ + y + 1) * nz_];
         const float* col2 = &g_[((x + 1) * ny_ + y) * nz_];
         const float* col3 = &g_[((x + 1) * ny_ + y + 1) * nz_];
-        for (int64_t z = 0; z + 1 < nz_; ++z) {
-          // Fast sign test over the 8 cube corners.
-          float v000 = col0[z], v001 = col0[z + 1];
-          float v010 = col1[z], v011 = col1[z + 1];
-          float v100 = col2[z], v101 = col2[z + 1];
-          float v110 = col3[z], v111 = col3[z + 1];
-          bool any_in = v000 > iso || v001 > iso || v010 > iso || v011 > iso ||
-                        v100 > iso || v101 > iso || v110 > iso || v111 > iso;
-          bool all_in = v000 > iso && v001 > iso && v010 > iso && v011 > iso &&
-                        v100 > iso && v101 > iso && v110 > iso && v111 > iso;
-          if (!any_in || all_in) continue;
-
-          int64_t cx[8][3];
-          float cv[8];
-          const float vals[8] = {v000, v100, v110, v010, v001, v101, v111, v011};
-          for (int c = 0; c < 8; ++c) {
-            cx[c][0] = x + kCornerOff[c][0];
-            cx[c][1] = y + kCornerOff[c][1];
-            cx[c][2] = z + kCornerOff[c][2];
-            cv[c] = vals[c];
+        const uint8_t* s0 = &sign[((x) * ny_ + y) * nz_];
+        const uint8_t* s1 = &sign[((x) * ny_ + y + 1) * nz_];
+        const uint8_t* s2 = &sign[((x + 1) * ny_ + y) * nz_];
+        const uint8_t* s3 = &sign[((x + 1) * ny_ + y + 1) * nz_];
+        for (int64_t z0 = 0; z0 + 1 < nz_; z0 += 8) {
+          // straddle byte != 0 iff the cell's 8 corners disagree
+          uint64_t w_or = load8(s0 + z0) | load8(s0 + z0 + 1) |
+                          load8(s1 + z0) | load8(s1 + z0 + 1) |
+                          load8(s2 + z0) | load8(s2 + z0 + 1) |
+                          load8(s3 + z0) | load8(s3 + z0 + 1);
+          uint64_t w_and = load8(s0 + z0) & load8(s0 + z0 + 1) &
+                           load8(s1 + z0) & load8(s1 + z0 + 1) &
+                           load8(s2 + z0) & load8(s2 + z0 + 1) &
+                           load8(s3 + z0) & load8(s3 + z0 + 1);
+          uint64_t diff = w_or ^ w_and;
+          if (!diff) continue;
+          int64_t zmax = std::min<int64_t>(8, nz_ - 1 - z0);
+          for (int64_t dz = 0; dz < zmax; ++dz) {
+            if (!((diff >> (8 * dz)) & 0xffu)) continue;
+            const int64_t z = z0 + dz;
+            float v000 = col0[z], v001 = col0[z + 1];
+            float v010 = col1[z], v011 = col1[z + 1];
+            float v100 = col2[z], v101 = col2[z + 1];
+            float v110 = col3[z], v111 = col3[z + 1];
+            int64_t cx[8][3];
+            float cv[8];
+            const float vals[8] = {v000, v100, v110, v010, v001, v101, v111, v011};
+            for (int c = 0; c < 8; ++c) {
+              cx[c][0] = x + kCornerOff[c][0];
+              cx[c][1] = y + kCornerOff[c][1];
+              cx[c][2] = z + kCornerOff[c][2];
+              cv[c] = vals[c];
+            }
+            for (int t = 0; t < 6; ++t) process_tet(cx, cv, kTets[t]);
           }
-          for (int t = 0; t < 6; ++t) process_tet(cx, cv, kTets[t]);
         }
       }
     }
@@ -200,7 +222,12 @@ class IsoExtractor {
   float iso_;
   std::vector<V3> verts_;
   std::vector<int64_t> faces_;
-  std::unordered_map<uint64_t, int> edge_map_;
+  // direct-addressed edge->vertex dedup: two rolling x-slabs of
+  // (ny+1)*(nz+1)*7 slots, validity tracked by generation stamps
+  int64_t slab_stride_;
+  std::vector<int32_t> slab_[2];
+  std::vector<uint32_t> stamp_[2];
+  uint32_t gen_[2];
 };
 
 }  // namespace
