@@ -125,6 +125,7 @@ def main(argv=None):
         threshold=opts.mc_threshold,
         chunk_size=opts.mc_chunk_size,
         simplify_nfaces=opts.simplify_nfaces,
+        refine_steps=opts.mc_refine_steps,
     )
 
     out_dir = os.path.join(opts.exp_dir, "results", opts.name_dataset)

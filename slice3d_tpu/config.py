@@ -58,6 +58,7 @@ class Options:
     mc_up_steps: int = 2
     mc_threshold: float = 0.5
     simplify_nfaces: int = 0  # 0 = no simplification
+    mc_refine_steps: int = 0  # refine_mesh RMSprop iterations (0 = off)
     # testing
     name_ckpt: str = ""
     name_ckpt_cam: str = ""

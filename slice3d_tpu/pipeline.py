@@ -44,10 +44,12 @@ class Reconstructor:
         chunk_size: int = 65536,
         box_size: float = 1.0,
         simplify_nfaces: int = 0,
+        refine_steps: int = 0,
     ):
         self.model = model
         self.variables = variables
         self.simplify_nfaces = simplify_nfaces
+        self.refine_steps = refine_steps
         self.generator = MeshGenerator(
             resolution0=resolution0,
             upsampling_steps=upsampling_steps,
@@ -58,6 +60,12 @@ class Reconstructor:
 
         is_slicenet = isinstance(model, SliceNetModel)
         is_disn = isinstance(model, DISNModel)
+
+        # refine_mesh differentiates through the query: route it around the
+        # Pallas fused encoder (no autodiff rule) via a non-fused clone that
+        # shares the exact same parameter structure.
+        model_diff = (model.clone(fused_ffn=False)
+                      if getattr(model, "fused_ffn", False) else model)
 
         def lattice_pts(idx, res):
             # lattice index -> world coords on device (cheap) — the host
@@ -78,31 +86,40 @@ class Reconstructor:
 
         if is_disn:
 
-            @jax.jit
-            def query_fn(variables, encoded, idx, res, trans_right, obj_rot):
+            def query_xyz(variables, encoded, pts, trans_right, obj_rot):
                 pyramids, feat_global = encoded
-                qry_norot = lattice_pts(idx, res)[None]
+                qry_norot = pts[None]
                 qry_rot = jnp.einsum("bmi,bij->bmj", qry_norot, obj_rot)
-                sdf = model.apply(
+                sdf = model_diff.apply(
                     variables, pyramids, feat_global, qry_rot, qry_norot,
-                    trans_right, method=model.query,
+                    trans_right, method=model_diff.query,
                 )
                 return -sdf[0]
 
+            @jax.jit
+            def query_fn(variables, encoded, idx, res, trans_right, obj_rot):
+                return query_xyz(variables, encoded, lattice_pts(idx, res),
+                                 trans_right, obj_rot)
+
         else:
 
-            @jax.jit
-            def query_fn(variables, pyramids, idx, res, trans_tp):
-                pts = lattice_pts(idx, res)
+            def query_xyz(variables, pyramids, pts, trans_tp):
                 # test-mode canonical->camera mapping: flip y/z (models.py:53-56)
                 qry = pts[None] * jnp.array([1.0, -1.0, -1.0], dtype=pts.dtype)
-                sdf = model.apply(
-                    variables, pyramids, qry, trans_tp, method=model.query_folded
+                sdf = model_diff.apply(
+                    variables, pyramids, qry, trans_tp,
+                    method=model_diff.query_folded,
                 )
                 return -sdf[0]  # logit convention: inside positive
 
+            @jax.jit
+            def query_fn(variables, pyramids, idx, res, trans_tp):
+                return query_xyz(variables, pyramids, lattice_pts(idx, res),
+                                 trans_tp)
+
         self._encode = encode_fn
         self._query = query_fn
+        self._query_xyz = query_xyz  # differentiable, for refine_mesh
         self._is_slicenet = is_slicenet
         self._is_disn = is_disn
 
@@ -118,8 +135,8 @@ class Reconstructor:
 
     # -- full object reconstruction ---------------------------------------
 
-    def reconstruct(self, feed: Dict[str, np.ndarray]) -> Tuple[Mesh, Dict]:
-        """feed: one dataset sample (unbatched numpy dict)."""
+    def _conditioned_fns(self, feed: Dict[str, np.ndarray]):
+        """Per-object closures: (lattice-chunk evaluator, xyz logit fn)."""
         if self._is_disn:
             encoded = self._encode(self.variables, jnp.asarray(feed["img_input"])[None])
             trans_right = jnp.asarray(feed["trans_mat_right"])[None]
@@ -130,6 +147,10 @@ class Reconstructor:
                     self.variables, encoded, jnp.asarray(idx), jnp.int32(res),
                     trans_right, obj_rot,
                 )
+
+            def logit_fn(pts):
+                return self._query_xyz(self.variables, encoded, pts,
+                                       trans_right, obj_rot)
 
         else:
             trans_tp = jnp.asarray(feed["trans_mat_wo_rot_tp"])[None]
@@ -146,6 +167,30 @@ class Reconstructor:
                     jnp.int32(res), trans_tp,
                 )
 
+            def logit_fn(pts):
+                return self._query_xyz(self.variables, pyramids, pts, trans_tp)
+
+        return evaluator, logit_fn
+
+    def _maybe_refine(self, mesh: Mesh, logit_fn, stats: Dict) -> Mesh:
+        """Optional refine_mesh polish (reference reconstruct.py:271-332)."""
+        if not self.refine_steps or mesh.is_empty:
+            return mesh
+        import time
+
+        from .mesh.refine import refine_mesh
+
+        t0 = time.perf_counter()
+        verts, _ = refine_mesh(
+            mesh.vertices, mesh.faces, logit_fn,
+            steps=self.refine_steps, threshold=self.generator.threshold,
+        )
+        stats["time_refine"] = time.perf_counter() - t0
+        return Mesh(vertices=verts, faces=mesh.faces)
+
+    def reconstruct(self, feed: Dict[str, np.ndarray]) -> Tuple[Mesh, Dict]:
+        """feed: one dataset sample (unbatched numpy dict)."""
+        evaluator, logit_fn = self._conditioned_fns(feed)
         mesh, stats = self.generator.generate(evaluator)
         if self.simplify_nfaces and not mesh.is_empty:
             import time
@@ -155,7 +200,7 @@ class Reconstructor:
             t0 = time.perf_counter()
             mesh = simplify_mesh(mesh, self.simplify_nfaces)
             stats["time_simplify"] = time.perf_counter() - t0
-        return mesh, stats
+        return self._maybe_refine(mesh, logit_fn, stats), stats
 
     def reconstruct_all(self, feeds, on_result) -> None:
         """Pipelined reconstruction over many objects.
@@ -185,18 +230,22 @@ class Reconstructor:
             return mesh, stats
 
         with ThreadPoolExecutor(1) as pool:
-            pending = None  # (index, future)
-            for i, feed in enumerate(feeds):
-                grid, stats = self._build_grid(feed)
-                if pending is not None:
-                    j, fut = pending
-                    mesh, st = fut.result()
-                    on_result(j, mesh, st)
-                pending = (i, pool.submit(march, grid, stats))
-            if pending is not None:
-                j, fut = pending
+            pending = None  # (index, future, logit_fn)
+
+            def finish(j, fut, logit_fn):
                 mesh, st = fut.result()
+                # refinement dispatches device programs: keep it on the main
+                # thread (single compile stream) — marching stays overlapped
+                mesh = self._maybe_refine(mesh, logit_fn, st)
                 on_result(j, mesh, st)
+
+            for i, feed in enumerate(feeds):
+                grid, logit_fn, stats = self._build_grid(feed)
+                if pending is not None:
+                    finish(*pending)
+                pending = (i, pool.submit(march, grid, stats), logit_fn)
+            if pending is not None:
+                finish(*pending)
 
     def _build_grid(self, feed):
         """Device portion only: encode + refined value grid (numpy)."""
@@ -204,25 +253,7 @@ class Reconstructor:
 
         from .mesh.extract import GridRefiner
 
-        if self._is_disn:
-            encoded = self._encode(self.variables, jnp.asarray(feed["img_input"])[None])
-            trans_right = jnp.asarray(feed["trans_mat_right"])[None]
-            obj_rot = jnp.asarray(feed["obj_rot_mat"])[None]
-
-            def evaluator(idx, res):
-                return self._query(self.variables, encoded, jnp.asarray(idx),
-                                   jnp.int32(res), trans_right, obj_rot)
-        else:
-            trans_tp = jnp.asarray(feed["trans_mat_wo_rot_tp"])[None]
-            if self._is_slicenet:
-                pyramids, _ = self.encode_input_view(feed["img_input"])
-            else:
-                pyramids = self.encode_slices(feed["img_slices"])
-
-            def evaluator(idx, res):
-                return self._query(self.variables, pyramids, jnp.asarray(idx),
-                                   jnp.int32(res), trans_tp)
-
+        evaluator, logit_fn = self._conditioned_fns(feed)
         g = self.generator
         logit_thr = float(np.log(g.threshold) - np.log(1.0 - g.threshold))
         refiner = GridRefiner(
@@ -234,7 +265,7 @@ class Reconstructor:
         t0 = time.perf_counter()
         grid = refiner.build(evaluator, stats)
         stats["time_eval_points"] = time.perf_counter() - t0
-        return grid, stats
+        return grid, logit_fn, stats
 
     def predicted_slices(self, img_input: np.ndarray) -> np.ndarray:
         """SliceNet only: (S, H, W, 3) predicted slice images in [-1, 1]."""

@@ -56,3 +56,21 @@ def test_reconstruct_all_pipelined_matches_single(recon):
         assert len(mesh.vertices) == len(ref_mesh.vertices)
         if len(mesh.vertices):
             np.testing.assert_allclose(mesh.vertices, ref_mesh.vertices, atol=1e-5)
+
+
+def test_reconstruct_with_refinement(recon):
+    """refine_steps polishes vertices through the model's xyz query path."""
+    feed = make_feed(2)
+    base_mesh, _ = recon.reconstruct(feed)
+    if base_mesh.is_empty:
+        pytest.skip("random-init model produced an empty mesh")
+    recon.refine_steps = 3
+    try:
+        mesh, stats = recon.reconstruct(feed)
+    finally:
+        recon.refine_steps = 0
+    assert "time_refine" in stats
+    assert mesh.vertices.shape == base_mesh.vertices.shape
+    assert np.isfinite(mesh.vertices).all()
+    # vertices actually moved
+    assert np.abs(mesh.vertices - base_mesh.vertices).max() > 0
