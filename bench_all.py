@@ -1,0 +1,236 @@
+#!/usr/bin/env python
+"""Benchmark harness for ALL BASELINE.json configs (1-5).
+
+Prints one JSON line per config.  ``bench.py`` stays the driver's single
+headline metric (config 1); this harness is the ledger source for
+BASELINE.md's measured table.
+
+Configs (BASELINE.md):
+  1. single RGBA -> SliceNet -> SDF grid -> mesh      [p50 seconds]
+     (BENCH1_UP_STEPS selects the 65^3 headline vs 257^3 full-quality point)
+  2. test-split regression reconstruction, batched    [objects/min]
+  3. gtslice reconstruction from 12 slice images      [objects/min]
+  4. kl-f8 VAE 13-image encode+decode                 [stacks/s]
+  5. LDM DDIM-200 slice generation + gtslice -> mesh  [p50 s/object]
+
+Weights are random-init (no pretrained ckpts ship with the reference
+either); all numbers are pure-throughput operating points.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+ENV = os.environ.get
+
+
+def _median(f, repeats, warmup=1):
+    for _ in range(warmup):
+        f()
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        f()
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def _slicenet_recon(res0, up_steps, chunk):
+    from slice3d_tpu.config import Options
+    from slice3d_tpu.models.build import build_model, init_variables
+    from slice3d_tpu.pipeline import Reconstructor
+
+    opts = Options(name_model="slicenet", img_size=128, dtype="bfloat16",
+                   random_init=True)
+    model = build_model(opts)
+    variables = init_variables(model, opts)
+    return Reconstructor(model, variables, resolution0=res0,
+                         upsampling_steps=up_steps, threshold=0.5,
+                         chunk_size=chunk)
+
+
+def _gtslice_recon(res0, up_steps, chunk):
+    from slice3d_tpu.config import Options
+    from slice3d_tpu.models.build import build_model, init_variables
+    from slice3d_tpu.pipeline import Reconstructor
+
+    opts = Options(name_model="gtslice", img_size=128, dtype="bfloat16",
+                   random_init=True)
+    model = build_model(opts)
+    variables = init_variables(model, opts)
+    return Reconstructor(model, variables, resolution0=res0,
+                         upsampling_steps=up_steps, threshold=0.5,
+                         chunk_size=chunk)
+
+
+def _feeds(n, with_slices):
+    from slice3d_tpu import camera
+
+    rng = np.random.default_rng(0)
+    _, proj = camera.camera_matrices(0.0, 0.0, 1.2)
+    feeds = []
+    for _ in range(n):
+        f = {"trans_mat_wo_rot_tp": proj.astype(np.float32)}
+        if with_slices:
+            f["img_slices"] = rng.normal(size=(12, 128, 128, 3)).astype(np.float32)
+        else:
+            f["img_input"] = rng.normal(size=(128, 128, 3)).astype(np.float32)
+        feeds.append(f)
+    return feeds
+
+
+def config1():
+    res0 = int(ENV("BENCH1_RES0", "64"))
+    up = int(ENV("BENCH1_UP_STEPS", "2"))
+    chunk = int(ENV("BENCH_CHUNK", "65536"))
+    recon = _slicenet_recon(res0, up, chunk)
+    feeds = _feeds(1 + int(ENV("BENCH_REPEATS", "5")), with_slices=False)
+    recon.reconstruct(feeds[0])  # compile
+    ts = []
+    for f in feeds[1:]:
+        t0 = time.perf_counter()
+        recon.reconstruct(f)
+        ts.append(time.perf_counter() - t0)
+    p50 = float(np.median(ts))
+    return {"config": 1, "metric": "single_image_to_mesh_p50_s",
+            "operating_point": f"res0={res0},up={up}",
+            "value": round(p50, 4), "unit": "s",
+            "vs_baseline": round(2.0 / p50, 4)}
+
+
+def _objects_per_min(recon, feeds):
+    done = []
+    recon.reconstruct_all(iter(feeds[:1]), lambda *a: None)  # compile
+    t0 = time.perf_counter()
+    recon.reconstruct_all(iter(feeds), lambda j, m, s: done.append(j))
+    dt = time.perf_counter() - t0
+    return len(done) / dt * 60.0, dt
+
+
+def config2():
+    n = int(ENV("BENCH2_OBJECTS", "16"))
+    res0 = int(ENV("BENCH2_RES0", "64"))
+    up = int(ENV("BENCH2_UP_STEPS", "1"))  # 128^3 effective
+    recon = _slicenet_recon(res0, up, int(ENV("BENCH_CHUNK", "65536")))
+    opm, dt = _objects_per_min(recon, _feeds(n, with_slices=False))
+    return {"config": 2, "metric": "regression_recon_objects_per_min",
+            "operating_point": f"res0={res0},up={up},n={n}",
+            "value": round(opm, 2), "unit": "objects/min",
+            "vs_baseline": None, "wall_s": round(dt, 2)}
+
+
+def config3():
+    n = int(ENV("BENCH3_OBJECTS", "16"))
+    res0 = int(ENV("BENCH3_RES0", "64"))
+    up = int(ENV("BENCH3_UP_STEPS", "2"))  # reference full-quality point
+    recon = _gtslice_recon(res0, up, int(ENV("BENCH_CHUNK", "65536")))
+    opm, dt = _objects_per_min(recon, _feeds(n, with_slices=True))
+    return {"config": 3, "metric": "gtslice_recon_objects_per_min",
+            "operating_point": f"res0={res0},up={up},n={n}",
+            "value": round(opm, 2), "unit": "objects/min",
+            "vs_baseline": None, "wall_s": round(dt, 2)}
+
+
+def config4():
+    import jax
+    import jax.numpy as jnp
+
+    from slice3d_tpu.diffusion.latent import LatentDiffusion
+
+    bs = int(ENV("BENCH4_BS", "8"))
+    module = LatentDiffusion(latent_size=16, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    imgs = jnp.zeros((bs, 13, 128, 128, 3), jnp.float32)
+
+    def init_fn(m):
+        z = m.encode_images(imgs[:1], jax.random.PRNGKey(0))
+        m.decode_tiles(z[:, :1])
+        return z
+
+    import flax.linen as nn
+
+    variables = nn.init(init_fn, module)({"params": rng})
+
+    @jax.jit
+    def roundtrip(v, x, key):
+        z = module.apply(v, x, key, True, method=LatentDiffusion.encode_images)
+        out = module.apply(v, z, method=LatentDiffusion.decode_tiles)
+        # checksum: forces a host fetch per run — block_until_ready alone
+        # does not synchronize through the axon tunnel
+        return jnp.sum(out.astype(jnp.float32))
+
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(bs, 13, 128, 128, 3)).astype(np.float32))
+
+    def run():
+        float(roundtrip(variables, x, rng))
+
+    t = _median(run, int(ENV("BENCH_REPEATS", "5")))
+    return {"config": 4, "metric": "vae_13img_roundtrip_stacks_per_s",
+            "operating_point": f"bs={bs},128px",
+            "value": round(bs / t, 3), "unit": "stacks/s",
+            "vs_baseline": None, "batch_latency_s": round(t, 4)}
+
+
+def config5():
+    import jax
+
+    from slice3d_tpu.diffusion.latent import LatentDiffusion
+    from slice3d_tpu.train.train_ldm import LDMTrainer
+
+    bs = int(ENV("BENCH5_BS", "8"))
+    steps = int(ENV("BENCH5_DDIM_STEPS", "200"))
+    import jax.numpy as jnp
+
+    module = LatentDiffusion(latent_size=16, dtype=jnp.bfloat16)
+    trainer = LDMTrainer(img_size=128, batch_size=bs, module=module,
+                         scale_by_std=False, use_ema=False)
+    state = trainer.init_state()
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.normal(size=(bs, 13, 128, 128, 3)).astype(np.float32),
+        "img_ipt_view": rng.normal(size=(bs, 128, 128, 3)).astype(np.float32),
+    }
+
+    def sample():
+        return trainer.sample_slices(state, batch, ddim_steps=steps, eta=1.0,
+                                     rng=jax.random.PRNGKey(1), use_ema=False)
+
+    slices = sample()  # compile + slices for stage 2
+    t_gen = _median(sample, max(int(ENV("BENCH_REPEATS", "5")) - 2, 1))
+
+    recon = _gtslice_recon(int(ENV("BENCH5_RES0", "64")),
+                           int(ENV("BENCH5_UP_STEPS", "2")),
+                           int(ENV("BENCH_CHUNK", "65536")))
+    from slice3d_tpu import camera
+
+    _, proj = camera.camera_matrices(0.0, 0.0, 1.2)
+    feeds = [{"img_slices": np.asarray(slices[i], np.float32),
+              "trans_mat_wo_rot_tp": proj.astype(np.float32)}
+             for i in range(bs)]
+    opm, dt = _objects_per_min(recon, feeds)
+    per_obj = t_gen / bs + dt / bs
+    return {"config": 5, "metric": "generation_e2e_s_per_object",
+            "operating_point": f"ddim={steps},bs={bs},res0=64,up=2",
+            "value": round(per_obj, 3), "unit": "s/object",
+            "vs_baseline": None,
+            "ddim_batch_s": round(t_gen, 3), "recon_s": round(dt, 3)}
+
+
+def main():
+    from slice3d_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    only = ENV("BENCH_CONFIGS", "1,2,3,4,5")
+    fns = {"1": config1, "2": config2, "3": config3, "4": config4,
+           "5": config5}
+    for key in only.split(","):
+        key = key.strip()
+        if key in fns:
+            print(json.dumps(fns[key]()), flush=True)
+
+
+if __name__ == "__main__":
+    main()
