@@ -26,7 +26,6 @@ host->device traffic 3x — the device derives ``world = box * (idx/res -
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from typing import Callable, Dict, Optional
 
@@ -121,25 +120,33 @@ class GridRefiner:
         return np.flatnonzero(mask.reshape(-1)).astype(np.int32)
 
     def _eval_chunked(self, evaluator: Evaluator, idx: np.ndarray, res: int) -> np.ndarray:
+        """One evaluator call per level.
+
+        The evaluator owns chunking/padding (a single device dispatch that
+        ``lax.scan``s over fixed-size chunks): on a tunneled chip each
+        dispatch costs ~100 ms of RPC overhead vs ~14 ms of compute, so
+        per-chunk host calls would be 8x off the wire-limited optimum.  It
+        may return more than ``len(idx)`` values (pad tail) — sliced here.
+        """
         m = len(idx)
         if m == 0:
             return np.zeros((0,), np.float32)
-        c = self.chunk_size
-        n_chunks = math.ceil(m / c)
-        padded = np.zeros((n_chunks * c,), np.int32)
-        padded[:m] = idx
-        # Submit every chunk before synchronizing: JAX's async dispatch
-        # overlaps the host->device transfers and kernels; only the final
-        # np.concatenate blocks.
-        outs = [evaluator(padded[i * c:(i + 1) * c], res) for i in range(n_chunks)]
-        return np.concatenate([np.asarray(o) for o in outs])[:m].astype(np.float32)
+        return np.asarray(evaluator(idx, res))[:m].astype(np.float32)
 
-    def build(self, evaluator: Evaluator, stats: Optional[Dict] = None) -> np.ndarray:
+    def build(self, evaluator: Evaluator, stats: Optional[Dict] = None,
+              dense_fn: Optional[Callable] = None) -> np.ndarray:
+        """dense_fn(res) -> ((res+1)^3,)-or-longer values for the coarse
+        level; lets the caller fuse model encode + dense coarse evaluation
+        into one device program (indices derived on device, nothing
+        uploaded)."""
         n0 = self.resolution0
-        idx = self.lattice_indices(n0)
-        vals = self._eval_chunked(evaluator, idx, n0)
+        n_lattice0 = (n0 + 1) ** 3
+        if dense_fn is not None:
+            vals = np.asarray(dense_fn(n0))[:n_lattice0].astype(np.float32)
+        else:
+            vals = self._eval_chunked(evaluator, self.lattice_indices(n0), n0)
         grid = vals.reshape(n0 + 1, n0 + 1, n0 + 1)
-        n_eval = len(idx)
+        n_eval = n_lattice0
 
         res = n0
         for _ in range(self.upsampling_steps):
@@ -187,7 +194,7 @@ class MeshGenerator:
     chunk_size: int = 65536
     dilate: int = 1
 
-    def generate(self, evaluator: Evaluator):
+    def generate(self, evaluator: Evaluator, dense_fn: Optional[Callable] = None):
         import time
 
         stats: Dict = {}
@@ -201,7 +208,7 @@ class MeshGenerator:
             dilate=self.dilate,
         )
         t0 = time.perf_counter()
-        grid = refiner.build(evaluator, stats)
+        grid = refiner.build(evaluator, stats, dense_fn=dense_fn)
         stats["time_eval_points"] = time.perf_counter() - t0
         t0 = time.perf_counter()
         mesh = extract_mesh_from_grid(grid, logit_thr, self.box_size)

@@ -50,6 +50,7 @@ class Reconstructor:
         self.variables = variables
         self.simplify_nfaces = simplify_nfaces
         self.refine_steps = refine_steps
+        self.chunk_size = chunk_size
         self.generator = MeshGenerator(
             resolution0=resolution0,
             upsampling_steps=upsampling_steps,
@@ -86,42 +87,94 @@ class Reconstructor:
 
         if is_disn:
 
-            def query_xyz(variables, encoded, pts, trans_right, obj_rot):
-                pyramids, feat_global = encoded
-                qry_norot = pts[None]
-                qry_rot = jnp.einsum("bmi,bij->bmj", qry_norot, obj_rot)
-                sdf = model_diff.apply(
-                    variables, pyramids, feat_global, qry_rot, qry_norot,
-                    trans_right, method=model_diff.query,
-                )
-                return -sdf[0]
+            def make_query_xyz(m):
+                def query_xyz(variables, encoded, pts, trans_right, obj_rot):
+                    pyramids, feat_global = encoded
+                    qry_norot = pts[None]
+                    qry_rot = jnp.einsum("bmi,bij->bmj", qry_norot, obj_rot)
+                    sdf = m.apply(
+                        variables, pyramids, feat_global, qry_rot, qry_norot,
+                        trans_right, method=m.query,
+                    )
+                    return -sdf[0]
 
-            @jax.jit
-            def query_fn(variables, encoded, idx, res, trans_right, obj_rot):
-                return query_xyz(variables, encoded, lattice_pts(idx, res),
-                                 trans_right, obj_rot)
+                return query_xyz
 
         else:
 
-            def query_xyz(variables, pyramids, pts, trans_tp):
-                # test-mode canonical->camera mapping: flip y/z (models.py:53-56)
-                qry = pts[None] * jnp.array([1.0, -1.0, -1.0], dtype=pts.dtype)
-                sdf = model_diff.apply(
-                    variables, pyramids, qry, trans_tp,
-                    method=model_diff.query_folded,
-                )
-                return -sdf[0]  # logit convention: inside positive
+            def make_query_xyz(m):
+                def query_xyz(variables, pyramids, pts, trans_tp):
+                    # test-mode canonical->camera mapping: flip y/z
+                    # (models.py:53-56)
+                    qry = pts[None] * jnp.array([1.0, -1.0, -1.0],
+                                                dtype=pts.dtype)
+                    sdf = m.apply(
+                        variables, pyramids, qry, trans_tp,
+                        method=m.query_folded,
+                    )
+                    return -sdf[0]  # logit convention: inside positive
 
-            @jax.jit
-            def query_fn(variables, pyramids, idx, res, trans_tp):
-                return query_xyz(variables, pyramids, lattice_pts(idx, res),
-                                 trans_tp)
+                return query_xyz
+
+        query_xyz_fast = make_query_xyz(model)       # fused hot path
+        query_xyz = make_query_xyz(model_diff)       # autodiff-safe (refine)
+
+        def query_row(variables, encoded, idx, res, extras):
+            # one fixed-size chunk of flat lattice indices -> values
+            return query_xyz_fast(variables, encoded, lattice_pts(idx, res),
+                                  *extras)
+
+        # One device dispatch per refinement level: lax.scan over (k, c)
+        # index chunks.  On a tunneled chip each dispatch is ~100 ms of RPC
+        # overhead vs ~14 ms of compute per 64k chunk, so per-chunk host
+        # calls sit 8x off the wire-limited optimum.  jit re-specializes per
+        # distinct k (rounded to powers of two to bound compile count).
+        @jax.jit
+        def query_many(variables, encoded, idx2d, res, *extras):
+            def body(carry, idx):
+                return carry, query_row(variables, encoded, idx, res, extras)
+
+            _, vals = jax.lax.scan(body, 0, idx2d)
+            return vals.reshape(-1)
+
+        # Fused encode + dense coarse level: a single dispatch computes the
+        # feature pyramids AND the full (res0+1)^3 coarse lattice (indices
+        # are a device-side arange — only the image crosses the wire).
+        n0 = int(resolution0)
+        c = int(chunk_size)
+        k0 = -(-((n0 + 1) ** 3) // c)
+        idx0 = jnp.arange(k0 * c, dtype=jnp.int32).reshape(k0, c)
+
+        @jax.jit
+        def encode_dense(variables, imgs, *extras):
+            encoded = encode_fn.__wrapped__(variables, imgs)
+            enc_q = encoded if is_disn else (
+                encoded[0] if is_slicenet else encoded)
+
+            def body(carry, idx):
+                return carry, query_row(variables, enc_q, idx, jnp.int32(n0),
+                                        extras)
+
+            _, vals = jax.lax.scan(body, 0, idx0)
+            return encoded, vals.reshape(-1)
 
         self._encode = encode_fn
-        self._query = query_fn
+        self._encode_dense = encode_dense
+        self._query_many = query_many
         self._query_xyz = query_xyz  # differentiable, for refine_mesh
         self._is_slicenet = is_slicenet
         self._is_disn = is_disn
+
+    def _pad_chunks(self, idx: np.ndarray) -> np.ndarray:
+        """(m,) flat lattice indices -> (k, c) chunk rows, k a power of 2."""
+        c = self.chunk_size
+        k = max(-(-len(idx) // c), 1)
+        k_pad = 1
+        while k_pad < k:
+            k_pad *= 2
+        padded = np.zeros((k_pad * c,), np.int32)
+        padded[:len(idx)] = idx
+        return padded.reshape(k_pad, c)
 
     # -- encoding ---------------------------------------------------------
 
@@ -136,41 +189,40 @@ class Reconstructor:
     # -- full object reconstruction ---------------------------------------
 
     def _conditioned_fns(self, feed: Dict[str, np.ndarray]):
-        """Per-object closures: (lattice-chunk evaluator, xyz logit fn)."""
+        """Per-object closures: (level evaluator, dense coarse fn, logit fn).
+
+        The dense fn fuses encode + full coarse lattice in ONE dispatch; the
+        evaluator covers each masked refinement level in one dispatch.
+        """
         if self._is_disn:
-            encoded = self._encode(self.variables, jnp.asarray(feed["img_input"])[None])
-            trans_right = jnp.asarray(feed["trans_mat_right"])[None]
-            obj_rot = jnp.asarray(feed["obj_rot_mat"])[None]
-
-            def evaluator(idx: np.ndarray, res: int):
-                return self._query(
-                    self.variables, encoded, jnp.asarray(idx), jnp.int32(res),
-                    trans_right, obj_rot,
-                )
-
-            def logit_fn(pts):
-                return self._query_xyz(self.variables, encoded, pts,
-                                       trans_right, obj_rot)
-
+            imgs = jnp.asarray(feed["img_input"])[None]
+            extras = (jnp.asarray(feed["trans_mat_right"])[None],
+                      jnp.asarray(feed["obj_rot_mat"])[None])
         else:
-            trans_tp = jnp.asarray(feed["trans_mat_wo_rot_tp"])[None]
+            extras = (jnp.asarray(feed["trans_mat_wo_rot_tp"])[None],)
             if self._is_slicenet:
-                pyramids, _ = self.encode_input_view(feed["img_input"])
+                imgs = jnp.asarray(feed["img_input"])[None]
             else:
-                pyramids = self.encode_slices(feed["img_slices"])
+                imgs = jnp.asarray(feed["img_slices"])[None]
 
-            def evaluator(idx: np.ndarray, res: int):
-                # returns the device array: keeps dispatch asynchronous so
-                # the grid refiner overlaps chunk uploads with device compute
-                return self._query(
-                    self.variables, pyramids, jnp.asarray(idx),
-                    jnp.int32(res), trans_tp,
-                )
+        encoded, dense_vals = self._encode_dense(self.variables, imgs, *extras)
+        enc_q = encoded if self._is_disn else (
+            encoded[0] if self._is_slicenet else encoded)
 
-            def logit_fn(pts):
-                return self._query_xyz(self.variables, pyramids, pts, trans_tp)
+        def dense_fn(res: int):
+            return dense_vals  # precomputed by the fused dispatch
 
-        return evaluator, logit_fn
+        def evaluator(idx: np.ndarray, res: int):
+            # returns the (padded) device array: the caller slices/syncs
+            return self._query_many(
+                self.variables, enc_q, jnp.asarray(self._pad_chunks(idx)),
+                jnp.int32(res), *extras,
+            )
+
+        def logit_fn(pts):
+            return self._query_xyz(self.variables, enc_q, pts, *extras)
+
+        return evaluator, dense_fn, logit_fn
 
     def _maybe_refine(self, mesh: Mesh, logit_fn, stats: Dict) -> Mesh:
         """Optional refine_mesh polish (reference reconstruct.py:271-332)."""
@@ -190,8 +242,8 @@ class Reconstructor:
 
     def reconstruct(self, feed: Dict[str, np.ndarray]) -> Tuple[Mesh, Dict]:
         """feed: one dataset sample (unbatched numpy dict)."""
-        evaluator, logit_fn = self._conditioned_fns(feed)
-        mesh, stats = self.generator.generate(evaluator)
+        evaluator, dense_fn, logit_fn = self._conditioned_fns(feed)
+        mesh, stats = self.generator.generate(evaluator, dense_fn=dense_fn)
         if self.simplify_nfaces and not mesh.is_empty:
             import time
 
@@ -253,7 +305,7 @@ class Reconstructor:
 
         from .mesh.extract import GridRefiner
 
-        evaluator, logit_fn = self._conditioned_fns(feed)
+        evaluator, dense_fn, logit_fn = self._conditioned_fns(feed)
         g = self.generator
         logit_thr = float(np.log(g.threshold) - np.log(1.0 - g.threshold))
         refiner = GridRefiner(
@@ -263,7 +315,7 @@ class Reconstructor:
         )
         stats = {}
         t0 = time.perf_counter()
-        grid = refiner.build(evaluator, stats)
+        grid = refiner.build(evaluator, stats, dense_fn=dense_fn)
         stats["time_eval_points"] = time.perf_counter() - t0
         return grid, logit_fn, stats
 
