@@ -60,11 +60,12 @@ def load_library() -> ctypes.CDLL:
         i64, f32p = ctypes.c_int64, ctypes.POINTER(ctypes.c_float)
         i64p = ctypes.POINTER(ctypes.c_int64)
         u8p = ctypes.POINTER(ctypes.c_uint8)
-        lib.s3d_isosurface.restype = ctypes.c_int
-        lib.s3d_isosurface.argtypes = [
-            f32p, i64, i64, i64, ctypes.c_float,
-            ctypes.POINTER(f32p), i64p, ctypes.POINTER(i64p), i64p,
-        ]
+        for fn in (lib.s3d_isosurface, lib.s3d_isosurface_sn):
+            fn.restype = ctypes.c_int
+            fn.argtypes = [
+                f32p, i64, i64, i64, ctypes.c_float,
+                ctypes.POINTER(f32p), i64p, ctypes.POINTER(i64p), i64p,
+            ]
         lib.s3d_simplify.restype = ctypes.c_int
         lib.s3d_simplify.argtypes = [
             f32p, i64, i64p, i64, i64,
@@ -79,24 +80,30 @@ def load_library() -> ctypes.CDLL:
         return lib
 
 
-def isosurface(grid: np.ndarray, iso: float = 0.0) -> Mesh:
+def isosurface(grid: np.ndarray, iso: float = 0.0,
+               method: str = "surface_nets") -> Mesh:
     """Extract the iso-surface of a dense scalar grid.
 
     Args:
       grid: (nx, ny, nz) float array; values > iso are 'inside'.
       iso: iso level.
+      method: "surface_nets" (default; one vertex per straddling cell,
+        ~2.5x smaller/faster output) or "tetrahedra" (6-tet marching,
+        vertices exactly on iso-crossing lattice edges).
 
     Returns:
       Mesh with vertices in lattice coordinates ([0, n-1] per axis) and
       outward-oriented faces.
     """
     lib = load_library()
+    fn = {"surface_nets": lib.s3d_isosurface_sn,
+          "tetrahedra": lib.s3d_isosurface}[method]
     g = np.ascontiguousarray(grid, dtype=np.float32)
     verts_p = ctypes.POINTER(ctypes.c_float)()
     faces_p = ctypes.POINTER(ctypes.c_int64)()
     nv = ctypes.c_int64()
     nf = ctypes.c_int64()
-    rc = lib.s3d_isosurface(
+    rc = fn(
         g.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         g.shape[0], g.shape[1], g.shape[2],
         ctypes.c_float(iso),

@@ -230,6 +230,156 @@ class IsoExtractor {
   uint32_t gen_[2];
 };
 
+// ---------------------------------------------------------------------------
+// Surface nets: one vertex per straddling cell (centroid of its edge
+// crossings), one quad per sign-changing lattice edge connecting the four
+// cells around that edge.  Emits ~2.5x fewer vertices/faces than the 6-tet
+// marching decomposition for the same grid — the fast default for the
+// reconstruction pipeline (reference extracts with classic marching cubes,
+// reg_slices/reconstruct.py:189-208; output contract is the same:
+// watertight, outward-oriented, lattice-coordinate vertices).
+class SurfaceNets {
+ public:
+  SurfaceNets(const float* grid, int64_t nx, int64_t ny, int64_t nz, float iso)
+      : g_(grid), nx_(nx), ny_(ny), nz_(nz), iso_(iso) {
+    slab_stride_ = (ny_ - 1) * (nz_ - 1);
+    for (int s = 0; s < 2; ++s) id_[s].assign(slab_stride_, -1);
+  }
+
+  inline float val(int64_t x, int64_t y, int64_t z) const {
+    return g_[(x * ny_ + y) * nz_ + z];
+  }
+
+  // Cell vertex: centroid of the iso crossings on the cell's 12 edges.
+  int make_vertex(int64_t x, int64_t y, int64_t z) {
+    static const int kEdges[12][2] = {
+        {0, 1}, {3, 2}, {7, 6}, {4, 5},  // +x edges
+        {0, 3}, {1, 2}, {5, 6}, {4, 7},  // +y edges
+        {0, 4}, {1, 5}, {2, 6}, {3, 7},  // +z edges
+    };
+    float cv[8];
+    for (int c = 0; c < 8; ++c) {
+      cv[c] = val(x + kCornerOff[c][0], y + kCornerOff[c][1],
+                  z + kCornerOff[c][2]);
+    }
+    V3 acc = {0, 0, 0};
+    int n = 0;
+    for (int e = 0; e < 12; ++e) {
+      const float va = cv[kEdges[e][0]], vb = cv[kEdges[e][1]];
+      if ((va > iso_) == (vb > iso_)) continue;
+      float denom = vb - va;
+      float t = (std::fabs(denom) > 1e-30f) ? (iso_ - va) / denom : 0.5f;
+      t = std::min(1.0f, std::max(0.0f, t));
+      const int* a = kCornerOff[kEdges[e][0]];
+      const int* b = kCornerOff[kEdges[e][1]];
+      acc.x += a[0] + t * (b[0] - a[0]);
+      acc.y += a[1] + t * (b[1] - a[1]);
+      acc.z += a[2] + t * (b[2] - a[2]);
+      ++n;
+    }
+    V3 p = {x + acc.x / n, y + acc.y / n, z + acc.z / n};
+    int idx = static_cast<int>(verts_.size());
+    verts_.push_back(p);
+    return idx;
+  }
+
+  inline void quad(int v00, int v10, int v11, int v01, bool flip) {
+    if (flip) {
+      faces_.push_back(v00); faces_.push_back(v01); faces_.push_back(v11);
+      faces_.push_back(v00); faces_.push_back(v11); faces_.push_back(v10);
+    } else {
+      faces_.push_back(v00); faces_.push_back(v10); faces_.push_back(v11);
+      faces_.push_back(v00); faces_.push_back(v11); faces_.push_back(v01);
+    }
+  }
+
+  void run() {
+    const float iso = iso_;
+    const int64_t npts = nx_ * ny_ * nz_;
+    std::vector<uint8_t> sign(static_cast<size_t>(npts) + 8, 0);
+    for (int64_t i = 0; i < npts; ++i) sign[i] = g_[i] > iso ? 1 : 0;
+    auto load8 = [](const uint8_t* p) {
+      uint64_t w;
+      std::memcpy(&w, p, 8);
+      return w;
+    };
+    auto sgn = [&](int64_t x, int64_t y, int64_t z) {
+      return sign[(x * ny_ + y) * nz_ + z];
+    };
+    const int64_t cy = ny_ - 1, cz = nz_ - 1;
+    auto cid = [&](int s, int64_t y, int64_t z) -> int32_t& {
+      return id_[s][y * cz + z];
+    };
+
+    for (int64_t x = 0; x + 1 < nx_; ++x) {
+      const int s = static_cast<int>(x & 1), sp = 1 - s;
+      std::fill(id_[s].begin(), id_[s].end(), -1);
+      // 1. vertices for straddling cells in cell-slab x
+      for (int64_t y = 0; y < cy; ++y) {
+        const uint8_t* s0 = &sign[((x) * ny_ + y) * nz_];
+        const uint8_t* s1 = &sign[((x) * ny_ + y + 1) * nz_];
+        const uint8_t* s2 = &sign[((x + 1) * ny_ + y) * nz_];
+        const uint8_t* s3 = &sign[((x + 1) * ny_ + y + 1) * nz_];
+        for (int64_t z0 = 0; z0 < cz; z0 += 8) {
+          uint64_t w_or = load8(s0 + z0) | load8(s0 + z0 + 1) |
+                          load8(s1 + z0) | load8(s1 + z0 + 1) |
+                          load8(s2 + z0) | load8(s2 + z0 + 1) |
+                          load8(s3 + z0) | load8(s3 + z0 + 1);
+          uint64_t w_and = load8(s0 + z0) & load8(s0 + z0 + 1) &
+                           load8(s1 + z0) & load8(s1 + z0 + 1) &
+                           load8(s2 + z0) & load8(s2 + z0 + 1) &
+                           load8(s3 + z0) & load8(s3 + z0 + 1);
+          uint64_t diff = w_or ^ w_and;
+          if (!diff) continue;
+          int64_t zmax = std::min<int64_t>(8, cz - z0);
+          for (int64_t dz = 0; dz < zmax; ++dz) {
+            if (!((diff >> (8 * dz)) & 0xffu)) continue;
+            cid(s, y, z0 + dz) = make_vertex(x, y, z0 + dz);
+          }
+        }
+      }
+      // 2. x-edges interior to slab x: edge (x,y,z)->(x+1,y,z); the four
+      //    cells (x, y-1..y, z-1..z) all live in this slab.
+      for (int64_t y = 1; y < ny_ - 1; ++y) {
+        for (int64_t z = 1; z < nz_ - 1; ++z) {
+          const uint8_t sa = sgn(x, y, z);
+          if (sa == sgn(x + 1, y, z)) continue;
+          // cyclic order (u,v) = (y,z) gives outward normal +x for sa=1
+          quad(cid(s, y - 1, z - 1), cid(s, y, z - 1),
+               cid(s, y, z), cid(s, y - 1, z), !sa);
+        }
+      }
+      if (x == 0) continue;
+      // 3. y/z-edges on lattice plane x: four cells straddle slabs x-1, x.
+      for (int64_t y = 0; y < ny_; ++y) {
+        for (int64_t z = 0; z < nz_; ++z) {
+          const uint8_t sa = sgn(x, y, z);
+          if (y + 1 < ny_ && z >= 1 && z < nz_ - 1 &&
+              sa != sgn(x, y + 1, z)) {
+            // +y edge: cyclic order (u,v) = (z,x) -> outward +y for sa=1
+            quad(cid(sp, y, z - 1), cid(sp, y, z),
+                 cid(s, y, z), cid(s, y, z - 1), !sa);
+          }
+          if (z + 1 < nz_ && y >= 1 && y < ny_ - 1 &&
+              sa != sgn(x, y, z + 1)) {
+            // +z edge: cyclic order (u,v) = (x,y) -> outward +z for sa=1
+            quad(cid(sp, y - 1, z), cid(s, y - 1, z),
+                 cid(s, y, z), cid(sp, y, z), !sa);
+          }
+        }
+      }
+    }
+  }
+
+  const float* g_;
+  int64_t nx_, ny_, nz_;
+  float iso_;
+  std::vector<V3> verts_;
+  std::vector<int64_t> faces_;
+  int64_t slab_stride_;
+  std::vector<int32_t> id_[2];  // cell vertex ids, rolling x-slabs
+};
+
 }  // namespace
 
 extern "C" {
@@ -242,6 +392,25 @@ int s3d_isosurface(const float* grid, int64_t nx, int64_t ny, int64_t nz,
                    float iso, float** out_verts, int64_t* out_nv,
                    int64_t** out_faces, int64_t* out_nf) {
   IsoExtractor ex(grid, nx, ny, nz, iso);
+  ex.run();
+  int64_t nv = static_cast<int64_t>(ex.verts_.size());
+  int64_t nf = static_cast<int64_t>(ex.faces_.size() / 3);
+  *out_verts = static_cast<float*>(std::malloc(sizeof(float) * 3 * std::max<int64_t>(nv, 1)));
+  *out_faces = static_cast<int64_t*>(std::malloc(sizeof(int64_t) * 3 * std::max<int64_t>(nf, 1)));
+  if (!*out_verts || !*out_faces) return -1;
+  if (nv) std::memcpy(*out_verts, ex.verts_.data(), sizeof(float) * 3 * nv);
+  if (nf) std::memcpy(*out_faces, ex.faces_.data(), sizeof(int64_t) * 3 * nf);
+  *out_nv = nv;
+  *out_nf = nf;
+  return 0;
+}
+
+// Surface-nets variant of s3d_isosurface: same contract, ~2.5x smaller
+// output for the same grid (one vertex per straddling cell).
+int s3d_isosurface_sn(const float* grid, int64_t nx, int64_t ny, int64_t nz,
+                      float iso, float** out_verts, int64_t* out_nv,
+                      int64_t** out_faces, int64_t* out_nf) {
+  SurfaceNets ex(grid, nx, ny, nz, iso);
   ex.run();
   int64_t nv = static_cast<int64_t>(ex.verts_.size());
   int64_t nf = static_cast<int64_t>(ex.faces_.size() / 3);

@@ -1,8 +1,20 @@
-"""Analytic-SDF tests for the native isosurface extractor."""
+"""Analytic-SDF tests for the native isosurface extractors.
+
+Parameterized over both methods: "surface_nets" (pipeline default) and
+"tetrahedra" (exact edge-crossing vertices).
+"""
 
 import numpy as np
+import pytest
 
-from slice3d_tpu.mesh import isosurface, export_obj, Mesh
+from slice3d_tpu.mesh import isosurface as _isosurface, export_obj, Mesh
+
+
+@pytest.fixture(params=["surface_nets", "tetrahedra"])
+def isosurface(request):
+    import functools
+
+    return functools.partial(_isosurface, method=request.param)
 
 
 def sphere_grid(n=48, radius=0.35):
@@ -11,7 +23,7 @@ def sphere_grid(n=48, radius=0.35):
     return radius - np.sqrt(x * x + y * y + z * z), lin
 
 
-def test_sphere_surface_accuracy():
+def test_sphere_surface_accuracy(isosurface):
     n = 48
     grid, lin = sphere_grid(n)
     mesh = isosurface(grid, 0.0)
@@ -25,7 +37,7 @@ def test_sphere_surface_accuracy():
     assert np.abs(r - 0.35).mean() < cell / 4
 
 
-def test_watertight_and_oriented():
+def test_watertight_and_oriented(isosurface):
     grid, _ = sphere_grid(24)
     mesh = isosurface(grid, 0.0)
     # Every edge must be shared by exactly 2 faces with opposite direction
@@ -39,7 +51,7 @@ def test_watertight_and_oriented():
         assert (b, a) in edges, "boundary edge -> not watertight"
 
 
-def test_normals_point_outward():
+def test_normals_point_outward(isosurface):
     n = 32
     grid, _ = sphere_grid(n)
     mesh = isosurface(grid, 0.0)
@@ -52,7 +64,7 @@ def test_normals_point_outward():
     assert agree.mean() > 0.99
 
 
-def test_volume_close_to_analytic():
+def test_volume_close_to_analytic(isosurface):
     n = 40
     grid, _ = sphere_grid(n)
     mesh = isosurface(grid, 0.0)
@@ -64,13 +76,13 @@ def test_volume_close_to_analytic():
     assert abs(vol - expect) / expect < 0.02
 
 
-def test_empty_grid():
+def test_empty_grid(isosurface):
     grid = -np.ones((8, 8, 8), np.float32)
     mesh = isosurface(grid, 0.0)
     assert mesh.is_empty
 
 
-def test_export_obj(tmp_path):
+def test_export_obj(isosurface, tmp_path):
     grid, _ = sphere_grid(16)
     mesh = isosurface(grid, 0.0)
     path = tmp_path / "sphere.obj"
