@@ -20,8 +20,8 @@ from dataclasses import dataclass
 import numpy as np
 
 __all__ = [
-    "Mesh", "isosurface", "simplify_mesh", "points_inside_mesh",
-    "voxelize_mesh", "export_obj", "load_library",
+    "Mesh", "isosurface", "refine_level", "simplify_mesh",
+    "points_inside_mesh", "voxelize_mesh", "export_obj", "load_library",
 ]
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
@@ -75,6 +75,12 @@ def load_library() -> ctypes.CDLL:
         lib.s3d_points_inside.argtypes = [f32p, i64, i64p, i64, f32p, i64, u8p]
         lib.s3d_voxelize.restype = ctypes.c_int
         lib.s3d_voxelize.argtypes = [f32p, i64, i64p, i64, i64, u8p]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.s3d_refine_level.restype = ctypes.c_int
+        lib.s3d_refine_level.argtypes = [
+            f32p, i64, ctypes.c_float, i64,
+            f32p, ctypes.POINTER(i32p), i64p,
+        ]
         lib.s3d_free.argtypes = [ctypes.c_void_p]
         _LIBHANDLE = lib
         return lib
@@ -119,6 +125,37 @@ def isosurface(grid: np.ndarray, iso: float = 0.0,
         lib.s3d_free(verts_p)
         lib.s3d_free(faces_p)
     return Mesh(vertices=verts, faces=faces)
+
+
+def refine_level(grid: np.ndarray, threshold: float, dilate: int = 1):
+    """One coarse->fine level of dense masked refinement, natively.
+
+    Returns (fine_grid (2n+1)^3 float32 trilinear upsample, idx int32
+    ascending flat indices of fine-lattice points the evaluator must
+    refresh).  Exact match of the numpy path in ``mesh.extract``
+    (_active_cells + _touched_lattice_mask + _upsample2x) in one pass.
+    """
+    lib = load_library()
+    g = np.ascontiguousarray(grid, dtype=np.float32)
+    n1 = g.shape[0]
+    f1 = 2 * (n1 - 1) + 1
+    fine = np.empty((f1, f1, f1), np.float32)
+    idx_p = ctypes.POINTER(ctypes.c_int32)()
+    nidx = ctypes.c_int64()
+    rc = lib.s3d_refine_level(
+        g.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n1,
+        ctypes.c_float(threshold), dilate,
+        fine.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.byref(idx_p), ctypes.byref(nidx),
+    )
+    if rc != 0:
+        raise RuntimeError("refine_level failed")
+    try:
+        idx = (np.ctypeslib.as_array(idx_p, shape=(nidx.value,)).copy()
+               if nidx.value else np.zeros((0,), np.int32))
+    finally:
+        lib.s3d_free(idx_p)
+    return fine, idx
 
 
 def simplify_mesh(mesh: Mesh, target_faces: int) -> Mesh:

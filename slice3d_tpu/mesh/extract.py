@@ -108,6 +108,7 @@ class GridRefiner:
     box_size: float = 1.0
     chunk_size: int = 65536
     dilate: int = 1
+    use_native: bool = True  # single-pass C++ upsample+mask per level
 
     def lattice_points(self, res: int, mask: Optional[np.ndarray] = None) -> np.ndarray:
         """World coordinates of lattice points (testing/debug helper)."""
@@ -150,11 +151,16 @@ class GridRefiner:
 
         res = n0
         for _ in range(self.upsampling_steps):
-            active = _active_cells(grid, self.threshold, self.dilate)
-            mask = _touched_lattice_mask(active)
-            grid = _upsample2x(grid)
+            if self.use_native:
+                from . import refine_level
+
+                grid, idx = refine_level(grid, self.threshold, self.dilate)
+            else:
+                active = _active_cells(grid, self.threshold, self.dilate)
+                mask = _touched_lattice_mask(active)
+                grid = _upsample2x(grid)
+                idx = self.lattice_indices(2 * res, mask)
             res *= 2
-            idx = self.lattice_indices(res, mask)
             vals = self._eval_chunked(evaluator, idx, res)
             grid.reshape(-1)[idx] = vals
             n_eval += len(idx)

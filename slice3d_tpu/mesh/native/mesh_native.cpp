@@ -405,6 +405,132 @@ int s3d_isosurface(const float* grid, int64_t nx, int64_t ny, int64_t nz,
   return 0;
 }
 
+// One coarse->fine refinement level of the dense masked refiner
+// (mesh/extract.py::GridRefiner semantics, reference libmise equivalent):
+//   * active cells = coarse cells whose 8 corners straddle thr, dilated
+//     `dilate` times over the 6-neighborhood;
+//   * out_grid ((2n+1)^3, caller-allocated) = trilinear 2x upsample;
+//   * out_idx (malloc'd, ascending) = flat fine-lattice indices of all
+//     points belonging to an active (subdivided) cell — the points the
+//     device must re-evaluate.
+// Replaces four numpy passes over the 17M-point fine lattice with one
+// native pass (~5x less host time on the critical path).
+int s3d_refine_level(const float* grid, int64_t n1 /* coarse n+1 */,
+                     float thr, int64_t dilate,
+                     float* out_grid, int32_t** out_idx, int64_t* out_nidx) {
+  const int64_t n = n1 - 1;          // coarse cells per axis
+  const int64_t f1 = 2 * n + 1;      // fine lattice points per axis
+  auto G = [&](int64_t x, int64_t y, int64_t z) {
+    return grid[(x * n1 + y) * n1 + z];
+  };
+
+  // 1. active coarse cells (straddle test + dilation)
+  std::vector<uint8_t> act(static_cast<size_t>(n * n * n), 0);
+  for (int64_t x = 0; x < n; ++x) {
+    for (int64_t y = 0; y < n; ++y) {
+      const float* c00 = &grid[((x) * n1 + y) * n1];
+      const float* c01 = &grid[((x) * n1 + y + 1) * n1];
+      const float* c10 = &grid[((x + 1) * n1 + y) * n1];
+      const float* c11 = &grid[((x + 1) * n1 + y + 1) * n1];
+      uint8_t* a = &act[(x * n + y) * n];
+      for (int64_t z = 0; z < n; ++z) {
+        float mn = c00[z], mx = c00[z];
+        const float vals[7] = {c00[z + 1], c01[z], c01[z + 1], c10[z],
+                               c10[z + 1], c11[z], c11[z + 1]};
+        for (float v : vals) {
+          mn = std::min(mn, v);
+          mx = std::max(mx, v);
+        }
+        a[z] = (mn <= thr && mx >= thr) ? 1 : 0;
+      }
+    }
+  }
+  for (int64_t it = 0; it < dilate; ++it) {
+    std::vector<uint8_t> grown(act);
+    auto at = [&](int64_t x, int64_t y, int64_t z) -> uint8_t {
+      return act[(x * n + y) * n + z];
+    };
+    for (int64_t x = 0; x < n; ++x) {
+      for (int64_t y = 0; y < n; ++y) {
+        for (int64_t z = 0; z < n; ++z) {
+          if (at(x, y, z)) continue;
+          uint8_t v = 0;
+          if (x > 0) v |= at(x - 1, y, z);
+          if (x + 1 < n) v |= at(x + 1, y, z);
+          if (y > 0) v |= at(x, y - 1, z);
+          if (y + 1 < n) v |= at(x, y + 1, z);
+          if (z > 0) v |= at(x, y, z - 1);
+          if (z + 1 < n) v |= at(x, y, z + 1);
+          if (v) grown[(x * n + y) * n + z] = 1;
+        }
+      }
+    }
+    act.swap(grown);
+  }
+
+  // 2. trilinear 2x upsample into out_grid
+  for (int64_t x = 0; x < f1; ++x) {
+    const int64_t x0 = x >> 1, x1 = std::min(n, (x + 1) >> 1);
+    for (int64_t y = 0; y < f1; ++y) {
+      const int64_t y0 = y >> 1, y1 = std::min(n, (y + 1) >> 1);
+      const float* r00 = &grid[(x0 * n1 + y0) * n1];
+      const float* r01 = &grid[(x0 * n1 + y1) * n1];
+      const float* r10 = &grid[(x1 * n1 + y0) * n1];
+      const float* r11 = &grid[(x1 * n1 + y1) * n1];
+      float* out = &out_grid[(x * f1 + y) * f1];
+      for (int64_t z = 0; z + 1 < f1; z += 2) {
+        const int64_t zc = z >> 1;
+        const float e = 0.25f * (r00[zc] + r01[zc] + r10[zc] + r11[zc]);
+        const float o = 0.25f * (r00[zc] + r01[zc] + r10[zc] + r11[zc] +
+                                 r00[zc + 1] + r01[zc + 1] + r10[zc + 1] +
+                                 r11[zc + 1]) * 0.5f;
+        out[z] = e;
+        out[z + 1] = o;
+      }
+      const int64_t zc = n;
+      out[f1 - 1] = 0.25f * (r00[zc] + r01[zc] + r10[zc] + r11[zc]);
+    }
+  }
+
+  // 3. fine lattice points touched by an active cell: mark the 3x3x3
+  //    fine-point block of each active coarse cell, then collect.
+  std::vector<uint8_t> mark(static_cast<size_t>(f1 * f1 * f1) + 8, 0);
+  for (int64_t x = 0; x < n; ++x) {
+    for (int64_t y = 0; y < n; ++y) {
+      const uint8_t* a = &act[(x * n + y) * n];
+      for (int64_t z = 0; z < n; ++z) {
+        if (!a[z]) continue;
+        for (int64_t dx = 0; dx < 3; ++dx) {
+          for (int64_t dy = 0; dy < 3; ++dy) {
+            uint8_t* m = &mark[((2 * x + dx) * f1 + 2 * y + dy) * f1 + 2 * z];
+            m[0] = 1; m[1] = 1; m[2] = 1;
+          }
+        }
+      }
+    }
+  }
+  const int64_t nfine = f1 * f1 * f1;
+  std::vector<int32_t> idx;
+  idx.reserve(1 << 20);
+  for (int64_t i = 0; i < nfine; i += 8) {
+    uint64_t w;
+    std::memcpy(&w, &mark[i], 8);
+    if (!w) continue;
+    const int64_t lim = std::min<int64_t>(8, nfine - i);
+    for (int64_t d = 0; d < lim; ++d) {
+      if (mark[i + d]) idx.push_back(static_cast<int32_t>(i + d));
+    }
+  }
+  *out_nidx = static_cast<int64_t>(idx.size());
+  *out_idx = static_cast<int32_t*>(
+      std::malloc(sizeof(int32_t) * std::max<size_t>(idx.size(), 1)));
+  if (!*out_idx) return -1;
+  if (!idx.empty()) {
+    std::memcpy(*out_idx, idx.data(), sizeof(int32_t) * idx.size());
+  }
+  return 0;
+}
+
 // Surface-nets variant of s3d_isosurface: same contract, ~2.5x smaller
 // output for the same grid (one vertex per straddling cell).
 int s3d_isosurface_sn(const float* grid, int64_t nx, int64_t ny, int64_t nz,

@@ -86,3 +86,23 @@ def test_extract_world_mapping():
     plane_x = mesh.vertices[:, 0]
     inner = mesh.vertices[(np.abs(mesh.vertices[:, 1]) < 0.4) & (np.abs(mesh.vertices[:, 2]) < 0.4)]
     assert np.abs(inner[np.abs(inner[:, 0]) < 0.1][:, 0]).max() < 1e-3
+
+
+def test_native_refine_level_matches_numpy():
+    from slice3d_tpu.mesh import refine_level
+    from slice3d_tpu.mesh.extract import (
+        _active_cells,
+        _touched_lattice_mask,
+        _upsample2x,
+    )
+
+    rng = np.random.default_rng(3)
+    for n1, thr, dilate in ((17, 0.0, 1), (33, 0.1, 1), (9, -0.2, 2)):
+        grid = rng.normal(size=(n1, n1, n1)).astype(np.float32)
+        fine_n, idx_n = refine_level(grid, thr, dilate)
+        active = _active_cells(grid, thr, dilate)
+        mask = _touched_lattice_mask(active)
+        fine_p = _upsample2x(grid)
+        idx_p = np.flatnonzero(mask.reshape(-1)).astype(np.int32)
+        np.testing.assert_allclose(fine_n, fine_p, atol=1e-6)
+        np.testing.assert_array_equal(idx_n, idx_p)
