@@ -89,9 +89,23 @@ class AttentionBlock(nn.Module):
         # torch QKVAttentionLegacy layout: heads-major, then (q, k, v) chunks
         qkv = qkv.reshape(b, t, self.n_heads, 3 * ch)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        logits = jnp.einsum("bthd,bshd->bhts", q, k).astype(jnp.float32)
-        probs = jax.nn.softmax(logits / math.sqrt(ch), axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhts,bshd->bthd", probs, v).reshape(b, t, c)
+        from ..ops.pallas_attention import (
+            attention_kernel_eligible,
+            spatial_attention,
+        )
+
+        if attention_kernel_eligible(t):
+            # fused VMEM-resident softmax-attention: avoids the (B*H, T, T)
+            # fp32 logits/probs HBM round trip that dominates at t = 4096
+            out = spatial_attention(
+                jnp.transpose(q, (0, 2, 1, 3)), jnp.transpose(k, (0, 2, 1, 3)),
+                jnp.transpose(v, (0, 2, 1, 3)), 1.0 / math.sqrt(ch),
+            )
+            out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, t, c)
+        else:
+            logits = jnp.einsum("bthd,bshd->bhts", q, k).astype(jnp.float32)
+            probs = jax.nn.softmax(logits / math.sqrt(ch), axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhts,bshd->bthd", probs, v).reshape(b, t, c)
         out = nn.Dense(c, dtype=self.dtype, kernel_init=nn.initializers.zeros,
                        name="proj_out")(out)
         return x + out.reshape(b, h, w, c)
