@@ -33,7 +33,7 @@ def main():
     repeats = int(os.environ.get("BENCH_REPEATS", "5"))
     res0 = int(os.environ.get("BENCH_RES0", "64"))
     up_steps = int(os.environ.get("BENCH_UP_STEPS", "2"))
-    chunk = int(os.environ.get("BENCH_CHUNK", "65536"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "32768"))
 
     opts = Options(name_model="slicenet", img_size=128, dtype="bfloat16",
                    mc_res0=res0, mc_up_steps=up_steps, mc_chunk_size=chunk,

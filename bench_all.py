@@ -84,7 +84,7 @@ def _feeds(n, with_slices):
 def config1():
     res0 = int(ENV("BENCH1_RES0", "64"))
     up = int(ENV("BENCH1_UP_STEPS", "2"))
-    chunk = int(ENV("BENCH_CHUNK", "65536"))
+    chunk = int(ENV("BENCH_CHUNK", "32768"))
     recon = _slicenet_recon(res0, up, chunk)
     feeds = _feeds(1 + int(ENV("BENCH_REPEATS", "5")), with_slices=False)
     recon.reconstruct(feeds[0])  # compile
@@ -113,7 +113,7 @@ def config2():
     n = int(ENV("BENCH2_OBJECTS", "16"))
     res0 = int(ENV("BENCH2_RES0", "64"))
     up = int(ENV("BENCH2_UP_STEPS", "1"))  # 128^3 effective
-    recon = _slicenet_recon(res0, up, int(ENV("BENCH_CHUNK", "65536")))
+    recon = _slicenet_recon(res0, up, int(ENV("BENCH_CHUNK", "32768")))
     opm, dt = _objects_per_min(recon, _feeds(n, with_slices=False))
     return {"config": 2, "metric": "regression_recon_objects_per_min",
             "operating_point": f"res0={res0},up={up},n={n}",
@@ -125,7 +125,7 @@ def config3():
     n = int(ENV("BENCH3_OBJECTS", "16"))
     res0 = int(ENV("BENCH3_RES0", "64"))
     up = int(ENV("BENCH3_UP_STEPS", "2"))  # reference full-quality point
-    recon = _gtslice_recon(res0, up, int(ENV("BENCH_CHUNK", "65536")))
+    recon = _gtslice_recon(res0, up, int(ENV("BENCH_CHUNK", "32768")))
     opm, dt = _objects_per_min(recon, _feeds(n, with_slices=True))
     return {"config": 3, "metric": "gtslice_recon_objects_per_min",
             "operating_point": f"res0={res0},up={up},n={n}",
@@ -203,7 +203,7 @@ def config5():
 
     recon = _gtslice_recon(int(ENV("BENCH5_RES0", "64")),
                            int(ENV("BENCH5_UP_STEPS", "2")),
-                           int(ENV("BENCH_CHUNK", "65536")))
+                           int(ENV("BENCH_CHUNK", "32768")))
     from slice3d_tpu import camera
 
     _, proj = camera.camera_matrices(0.0, 0.0, 1.2)

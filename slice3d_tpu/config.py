@@ -53,7 +53,7 @@ class Options:
     est_campose: bool = False
     back_bone_cam_est: str = "vgg16_bn"
     # marching-cube operating point
-    mc_chunk_size: int = 65536
+    mc_chunk_size: int = 32768
     mc_res0: int = 64
     mc_up_steps: int = 2
     mc_threshold: float = 0.5

@@ -41,7 +41,7 @@ class Reconstructor:
         resolution0: int = 64,
         upsampling_steps: int = 2,
         threshold: float = 0.5,
-        chunk_size: int = 65536,
+        chunk_size: int = 32768,
         box_size: float = 1.0,
         simplify_nfaces: int = 0,
         refine_steps: int = 0,
