@@ -8,6 +8,14 @@ encode + chunked SDF queries + native marching on host).  North-star
 target: 2.0 s p50 (BASELINE.md), so ``vs_baseline = 2.0 / p50`` (>1 means
 the target is met).  ``bench_all.py`` covers BASELINE configs 2-5.
 
+Workload is FROZEN for round-over-round comparability: weights from the
+deterministic seed-0 init, inputs from a fixed procedural pattern (no
+generator-state dependence), and the JSON records ``n_points_evaluated``
+so any drift in the refinement point stream is visible, plus
+``sdf_points_per_sec_128`` — a dense 129^3 lattice eval (the second
+BASELINE.json metric, init-independent by construction: every lattice
+point is evaluated regardless of the field).
+
 Prints ONE JSON line.
 """
 
@@ -19,6 +27,24 @@ import time
 import numpy as np
 
 TARGET_P50_S = 2.0
+V5E_BF16_PEAK_FLOPS = 197e12
+
+
+def _frozen_images(n, size=128):
+    """Deterministic inputs with NO dependence on RNG stream evolution:
+    smooth multi-frequency patterns, distinct per index."""
+    yy, xx = np.meshgrid(np.linspace(-1, 1, size), np.linspace(-1, 1, size),
+                         indexing="ij")
+    imgs = []
+    for i in range(n):
+        a = 1.0 + 0.37 * i
+        img = np.stack([
+            np.sin(5.0 * a * xx + 1.3 * i) * np.cos(3.0 * yy),
+            np.cos(4.0 * xx * yy * a + 0.7 * i),
+            np.sin(2.0 * a * (xx ** 2 + yy ** 2) + i),
+        ], axis=-1)
+        imgs.append(img.astype(np.float32))
+    return imgs
 
 
 def main():
@@ -39,7 +65,7 @@ def main():
                    mc_res0=res0, mc_up_steps=up_steps, mc_chunk_size=chunk,
                    random_init=True)
     model = build_model(opts)
-    variables = init_variables(model, opts)
+    variables = init_variables(model, opts)  # deterministic seed-0 init
 
     recon = Reconstructor(
         model, variables,
@@ -47,13 +73,12 @@ def main():
         threshold=0.5, chunk_size=chunk,
     )
 
-    rng = np.random.default_rng(0)
-    rot = np.eye(3, dtype=np.float32)
     from slice3d_tpu import camera
 
     _, proj = camera.camera_matrices(0.0, 0.0, 1.2)
+    images = _frozen_images(repeats + 1)
     feed = {
-        "img_input": rng.normal(size=(128, 128, 3)).astype(np.float32),
+        "img_input": images[0],
         "trans_mat_wo_rot_tp": proj.astype(np.float32),
     }
 
@@ -61,22 +86,64 @@ def main():
     mesh, stats = recon.reconstruct(feed)
 
     verbose = os.environ.get("BENCH_VERBOSE", "")
-    times = []
+    times, n_points, eval_times = [], [], []
     for i in range(repeats):
-        feed["img_input"] = rng.normal(size=(128, 128, 3)).astype(np.float32)
+        feed["img_input"] = images[i + 1]
         t0 = time.perf_counter()
         mesh, stats = recon.reconstruct(feed)
         times.append(time.perf_counter() - t0)
+        n_points.append(stats["n_points_evaluated"])
+        eval_times.append(stats["time_eval_points"])
         if verbose:
             print(f"run {i}: {times[-1]:.3f}s {stats}", file=sys.stderr)
 
     p50 = float(np.median(times))
+
+    # -- second BASELINE.json metric: dense SDF points/sec/chip at 128^3 --
+    # A dense lattice evaluates EVERY point, so this number cannot drift
+    # with init: one fused encode+dense dispatch at res0=128, up=0.
+    dense = Reconstructor(
+        model, variables, resolution0=128, upsampling_steps=0,
+        threshold=0.5, chunk_size=chunk,
+    )
+    dense.reconstruct(feed)  # compile
+    t0 = time.perf_counter()
+    _, dstats = dense.reconstruct(feed)
+    n128 = 129 ** 3
+    pps = n128 / dstats["time_eval_points"]
+
+    # MFU of the dense eval from XLA's own FLOP count (best-effort).
+    mfu = None
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        imgs = jnp.asarray(images[0])[None]
+        extras = (jnp.asarray(proj.astype(np.float32))[None],)
+        lowered = dense._encode_dense.lower(dense.variables, imgs, *extras)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            mfu = flops / dstats["time_eval_points"] / V5E_BF16_PEAK_FLOPS
+    except Exception:
+        pass
+
     result = {
         "metric": "single_image_to_mesh_p50_s",
         "value": round(p50, 4),
         "unit": "s",
         "vs_baseline": round(TARGET_P50_S / p50, 4),
+        "n_points_evaluated": int(np.median(n_points)),
+        "eval_s": round(float(np.median(eval_times)), 4),
+        "refined_points_per_sec": round(
+            float(np.median(n_points)) / float(np.median(eval_times)), 1),
+        "sdf_points_per_sec_128": round(pps, 1),
+        "dense_128_eval_s": round(dstats["time_eval_points"], 4),
     }
+    if mfu is not None:
+        result["dense_eval_mfu_est"] = round(mfu, 4)
     print(json.dumps(result))
 
 

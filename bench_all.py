@@ -37,7 +37,7 @@ def _median(f, repeats, warmup=1):
     return float(np.median(ts))
 
 
-def _slicenet_recon(res0, up_steps, chunk):
+def _slicenet_recon(res0, up_steps, chunk, batch=1):
     from slice3d_tpu.config import Options
     from slice3d_tpu.models.build import build_model, init_variables
     from slice3d_tpu.pipeline import Reconstructor
@@ -48,10 +48,10 @@ def _slicenet_recon(res0, up_steps, chunk):
     variables = init_variables(model, opts)
     return Reconstructor(model, variables, resolution0=res0,
                          upsampling_steps=up_steps, threshold=0.5,
-                         chunk_size=chunk)
+                         chunk_size=chunk, batch_size=batch)
 
 
-def _gtslice_recon(res0, up_steps, chunk):
+def _gtslice_recon(res0, up_steps, chunk, batch=1):
     from slice3d_tpu.config import Options
     from slice3d_tpu.models.build import build_model, init_variables
     from slice3d_tpu.pipeline import Reconstructor
@@ -62,7 +62,7 @@ def _gtslice_recon(res0, up_steps, chunk):
     variables = init_variables(model, opts)
     return Reconstructor(model, variables, resolution0=res0,
                          upsampling_steps=up_steps, threshold=0.5,
-                         chunk_size=chunk)
+                         chunk_size=chunk, batch_size=batch)
 
 
 def _feeds(n, with_slices):
@@ -102,7 +102,8 @@ def config1():
 
 def _objects_per_min(recon, feeds):
     done = []
-    recon.reconstruct_all(iter(feeds[:1]), lambda *a: None)  # compile
+    b = recon.batch_size
+    recon.reconstruct_all(iter(feeds[:b]), lambda *a: None)  # compile
     t0 = time.perf_counter()
     recon.reconstruct_all(iter(feeds), lambda j, m, s: done.append(j))
     dt = time.perf_counter() - t0
@@ -110,25 +111,29 @@ def _objects_per_min(recon, feeds):
 
 
 def config2():
-    n = int(ENV("BENCH2_OBJECTS", "16"))
+    n = int(ENV("BENCH2_OBJECTS", "32"))
     res0 = int(ENV("BENCH2_RES0", "64"))
     up = int(ENV("BENCH2_UP_STEPS", "1"))  # 128^3 effective
-    recon = _slicenet_recon(res0, up, int(ENV("BENCH_CHUNK", "32768")))
+    batch = int(ENV("BENCH2_BATCH", "8"))
+    recon = _slicenet_recon(res0, up, int(ENV("BENCH_CHUNK", "8192")),
+                            batch=batch)
     opm, dt = _objects_per_min(recon, _feeds(n, with_slices=False))
     return {"config": 2, "metric": "regression_recon_objects_per_min",
-            "operating_point": f"res0={res0},up={up},n={n}",
+            "operating_point": f"res0={res0},up={up},n={n},batch={batch}",
             "value": round(opm, 2), "unit": "objects/min",
             "vs_baseline": None, "wall_s": round(dt, 2)}
 
 
 def config3():
-    n = int(ENV("BENCH3_OBJECTS", "16"))
+    n = int(ENV("BENCH3_OBJECTS", "32"))
     res0 = int(ENV("BENCH3_RES0", "64"))
     up = int(ENV("BENCH3_UP_STEPS", "2"))  # reference full-quality point
-    recon = _gtslice_recon(res0, up, int(ENV("BENCH_CHUNK", "32768")))
+    batch = int(ENV("BENCH3_BATCH", "8"))
+    recon = _gtslice_recon(res0, up, int(ENV("BENCH_CHUNK", "8192")),
+                           batch=batch)
     opm, dt = _objects_per_min(recon, _feeds(n, with_slices=True))
     return {"config": 3, "metric": "gtslice_recon_objects_per_min",
-            "operating_point": f"res0={res0},up={up},n={n}",
+            "operating_point": f"res0={res0},up={up},n={n},batch={batch}",
             "value": round(opm, 2), "unit": "objects/min",
             "vs_baseline": None, "wall_s": round(dt, 2)}
 
@@ -203,7 +208,8 @@ def config5():
 
     recon = _gtslice_recon(int(ENV("BENCH5_RES0", "64")),
                            int(ENV("BENCH5_UP_STEPS", "2")),
-                           int(ENV("BENCH_CHUNK", "32768")))
+                           int(ENV("BENCH_CHUNK", "8192")),
+                           batch=int(ENV("BENCH5_BATCH", "8")))
     from slice3d_tpu import camera
 
     _, proj = camera.camera_matrices(0.0, 0.0, 1.2)

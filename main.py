@@ -86,6 +86,42 @@ def load_config(bases, dotlist):
     return apply_dotlist(cfg, dotlist)
 
 
+def make_writer(logdir):
+    """TensorBoard writer; no-op fallback when tensorboardX is absent
+    (it is not a declared dependency of the package)."""
+    try:
+        from tensorboardX import SummaryWriter
+
+        return SummaryWriter(os.path.join(logdir, "tensorboard"))
+    except ImportError:
+        class _Null:
+            def add_scalar(self, *a, **k):
+                pass
+
+            def close(self):
+                pass
+
+        print("tensorboardX not installed; scalar logging disabled")
+        return _Null()
+
+
+def validate_full(eval_fn, val_loader):
+    """Mean metrics over the WHOLE validation split (reference semantics:
+    Lightning validates every val batch, gen_slices/main.py:670-675)."""
+    sums, n = {}, 0
+    for vb in val_loader:
+        logs = eval_fn(vb)
+        for k, v in logs.items():
+            sums[k] = sums.get(k, 0.0) + float(v)
+        n += 1
+    return {k: v / max(n, 1) for k, v in sums.items()}
+
+
+def is_autoencoder_target(cfg) -> bool:
+    target = str((cfg.get("model") or {}).get("target", ""))
+    return "autoencoder" in target.lower()
+
+
 def build_module_and_trainer(cfg, scale_lr: bool):
     mp = (cfg.get("model") or {}).get("params") or {}
     unet = (mp.get("unet_config") or {}).get("params") or {}
@@ -115,11 +151,14 @@ def build_module_and_trainer(cfg, scale_lr: bool):
         unet_nres=int(unet.get("num_res_blocks", 2)),
         latent_size=img_size // downscale,
     )
+    accumulate = int(((cfg.get("lightning") or {}).get("trainer") or {})
+                     .get("accumulate_grad_batches", 1))
     trainer = LDMTrainer(
         img_size=img_size,
         batch_size=bs,
         base_lr=float(cfg.get("model", {}).get("base_learning_rate", 5e-5)),
         scale_lr=scale_lr,
+        accumulate=accumulate,
         timesteps=module.timesteps,
         linear_start=module.linear_start,
         linear_end=module.linear_end,
@@ -159,6 +198,157 @@ def write_rec_outputs(logdir, batch_idx, rec):
                    os.path.join(out_dir, f"{batch_idx}_{case}.png"))
 
 
+def run_vae_finetune(cfg, args):
+    """AE finetune route (reference trains the AE through the same
+    launcher: gen_slices/main.py:542 instantiating
+    ldm.models.autoencoder.AutoencoderKL with LPIPSWithDiscriminator,
+    autoencoder.py:442-451)."""
+    from slice3d_tpu.train.checkpoint import TopKCheckpointer
+    from slice3d_tpu.train.train_vae import VAEFinetuneTrainer
+
+    mp = (cfg.get("model") or {}).get("params") or {}
+    dd = mp.get("ddconfig") or {}
+    lossp = (mp.get("lossconfig") or {}).get("params") or {}
+    data_p = (cfg.get("data") or {}).get("params") or {}
+    bs = int(data_p.get("batch_size", 2))
+    img_size = 128
+    for split in ("train", "validation", "test"):
+        sp = (data_p.get(split) or {}).get("params") or {}
+        if "size" in sp:
+            img_size = int(sp["size"])
+            break
+
+    lpips_params = None
+    lpips_ckpt = lossp.get("lpips_ckpt", "")
+    if lpips_ckpt and os.path.exists(lpips_ckpt):
+        import torch
+
+        from slice3d_tpu.convert.torch_import import lpips_model
+
+        sd = torch.load(lpips_ckpt, map_location="cpu", weights_only=False)
+        lpips_params = lpips_model(sd.get("state_dict", sd))
+
+    trainer = VAEFinetuneTrainer(
+        img_size=img_size,
+        lr=float(cfg.get("model", {}).get("base_learning_rate", 4.5e-6)),
+        kl_weight=float(lossp.get("kl_weight", 1e-6)),
+        disc_start=int(lossp.get("disc_start", 50001)),
+        disc_weight=float(lossp.get("disc_weight", 0.5)),
+        vae_ch=int(dd.get("ch", 128)),
+        vae_mult=tuple(dd.get("ch_mult", (1, 2, 4, 4))),
+        vae_nres=int(dd.get("num_res_blocks", 2)),
+        lpips_params=lpips_params,
+    )
+    state = trainer.init_state(args.seed)
+
+    # start from a pretrained kl-f8 torch checkpoint when given
+    ckpt_path = str(mp.get("ckpt_path") or "")
+    if ckpt_path and os.path.exists(ckpt_path):
+        import torch
+
+        from slice3d_tpu.convert.torch_import import autoencoder_kl
+
+        sd = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+        vae_vars = autoencoder_kl(
+            sd.get("state_dict", sd),
+            ch=int(dd.get("ch", 128)),
+            ch_mult=tuple(dd.get("ch_mult", (1, 2, 4, 4))),
+            num_res_blocks=int(dd.get("num_res_blocks", 2)),
+        )
+        state = state.replace(params=vae_vars["params"])
+        print(f"initialized VAE from {ckpt_path}")
+
+    logdir = None
+    if args.resume:
+        if os.path.isfile(args.resume):
+            ckpt = args.resume
+            logdir = os.path.dirname(os.path.dirname(args.resume))
+        else:
+            logdir = args.resume.rstrip("/")
+            ckpt = latest_checkpoint(os.path.join(logdir, "checkpoints"))
+        if ckpt:
+            state = trainer.restore(state, ckpt)
+            print(f"restored from {ckpt} (step {int(state.step)})")
+    if logdir is None:
+        now = datetime.datetime.now().strftime("%Y-%m-%dT%H-%M-%S")
+        cfg_name = args.name or (
+            os.path.splitext(os.path.basename(args.base[0]))[0]
+            if args.base else "vae_finetune")
+        logdir = os.path.join(args.logdir, f"{now}_{cfg_name}")
+    ckpt_dir = os.path.join(logdir, "checkpoints")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    os.makedirs(os.path.join(logdir, "configs"), exist_ok=True)
+    with open(os.path.join(logdir, "configs", "merged.yaml"), "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    ds = build_dataset(cfg, "train", img_size, args.data_root)
+    loader = BatchLoader(ds, bs, shuffle=True, num_workers=4)
+    try:
+        val_ds = build_dataset(cfg, "validation", img_size, args.data_root)
+        val_loader = BatchLoader(val_ds, bs, shuffle=False,
+                                 drop_last=False, num_workers=2)
+    except (FileNotFoundError, KeyError):
+        val_loader = None
+
+    writer = make_writer(logdir)
+    topk = TopKCheckpointer(ckpt_dir, monitor="val/rec_loss", k=3)
+    rng = jax.random.PRNGKey(args.seed)
+
+    def flatten_stack(batch):
+        # (B, 13, H, W, 3) slice stacks -> (13B, H, W, 3) images: the AE
+        # trains on individual images (reference autoencoder.py:325-331)
+        x = batch["image"]
+        return {"image": x.reshape(-1, *x.shape[2:])}
+
+    t0 = time.time()
+    step = int(state.step)
+    try:
+        while True:
+            for batch in loader:
+                rng, sub = jax.random.split(rng)
+                state, logs = trainer.train_step(state, flatten_stack(batch), sub)
+                step = int(state.step)
+                if step % 50 == 0:
+                    print(f"step {step}: rec {float(logs['rec_loss']):.5f} "
+                          f"kl {float(logs['kl']):.3f} "
+                          f"disc {float(logs['disc_loss']):.5f} "
+                          f"({time.time() - t0:.0f}s)")
+                    for k in ("rec_loss", "kl", "g_loss", "d_weight",
+                              "ae_loss", "disc_loss"):
+                        writer.add_scalar(f"train/{k}", float(logs[k]), step)
+                if step % args.ckpt_every == 0:
+                    trainer.save(state, os.path.join(ckpt_dir, "last.ckpt"))
+                if (val_loader is not None and args.val_every > 0
+                        and step % args.val_every == 0):
+                    v = validate_full(
+                        lambda vb: trainer.eval_loss(
+                            state, flatten_stack(vb), jax.random.PRNGKey(0)),
+                        val_loader)
+                    print(f"step {step}: val/rec_loss {v['rec_loss']:.5f}")
+                    for k, val in v.items():
+                        writer.add_scalar(f"val/{k}", val, step)
+                    kept = topk.update(v["rec_loss"], step,
+                                       trainer.state_payload(state))
+                    if kept:
+                        print(f"saved top-k checkpoint {kept}")
+                if args.log_images_every > 0 and step % args.log_images_every == 0:
+                    img_dir = os.path.join(logdir, "images", "train")
+                    os.makedirs(img_dir, exist_ok=True)
+                    rec = trainer.reconstruct(
+                        state, batch["image"][0], jax.random.PRNGKey(0))
+                    save_image(to_uint8(slices_to_montage(batch["image"][0, :12])),
+                               os.path.join(img_dir, f"inputs_gs-{step:06}.png"))
+                    save_image(to_uint8(slices_to_montage(rec[:12])),
+                               os.path.join(img_dir, f"reconstruction_gs-{step:06}.png"))
+                if args.max_steps > 0 and step >= args.max_steps:
+                    trainer.save(state, os.path.join(ckpt_dir, "last.ckpt"))
+                    return
+    except (Exception, KeyboardInterrupt):
+        trainer.save(state, os.path.join(ckpt_dir, "last.ckpt"))
+        print(f"saved emergency checkpoint at step {step}")
+        raise
+
+
 def main(argv=None):
     from slice3d_tpu.utils.cache import enable_compilation_cache
 
@@ -166,6 +356,9 @@ def main(argv=None):
     args, unknown = get_parser().parse_known_args(argv)
     cfg = load_config(args.base, unknown)
     scale_lr = str(args.scale_lr).lower() != "false"
+
+    if args.train and is_autoencoder_target(cfg):
+        return run_vae_finetune(cfg, args)
 
     module, trainer, img_size, bs = build_module_and_trainer(cfg, scale_lr)
     state = trainer.init_state(args.seed)
@@ -215,11 +408,9 @@ def main(argv=None):
                                      drop_last=False, num_workers=2)
         except (FileNotFoundError, KeyError):
             val_loader = None
-        from tensorboardX import SummaryWriter
-
         from slice3d_tpu.train.checkpoint import TopKCheckpointer
 
-        writer = SummaryWriter(os.path.join(logdir, "tensorboard"))
+        writer = make_writer(logdir)
         topk = TopKCheckpointer(ckpt_dir, monitor="val/loss_simple_ema", k=3)
         rng = jax.random.PRNGKey(args.seed)
         t0 = time.time()
@@ -246,11 +437,18 @@ def main(argv=None):
                         trainer.save(state, os.path.join(ckpt_dir, "last.ckpt"))
                     if (val_loader is not None and args.val_every > 0
                             and step % args.val_every == 0):
-                        vb = next(iter(val_loader))
-                        v = trainer.eval_loss(state, vb, jax.random.PRNGKey(0),
-                                              use_ema=False)
-                        ve = trainer.eval_loss(state, vb, jax.random.PRNGKey(0),
-                                               use_ema=True)
+                        # whole val split, like Lightning's val loop
+                        # (reference gen_slices/main.py:670-675)
+                        v = validate_full(
+                            lambda vb: trainer.eval_loss(
+                                state, vb, jax.random.PRNGKey(0),
+                                use_ema=False),
+                            val_loader)
+                        ve = validate_full(
+                            lambda vb: trainer.eval_loss(
+                                state, vb, jax.random.PRNGKey(0),
+                                use_ema=True),
+                            val_loader)
                         print(f"step {step}: val/loss_simple "
                               f"{v['loss_simple']:.5f} ema {ve['loss_simple']:.5f}")
                         writer.add_scalar("val/loss_simple", v["loss_simple"], step)

@@ -117,6 +117,19 @@ def main(argv=None):
     if opts.est_campose:
         cam_predict = _build_campose_predictor(opts)
 
+    # mc_batch_size > 1 pools objects per device dispatch; with multiple
+    # chips the batch also shards over the mesh's data axis.
+    mesh = None
+    batch = max(opts.mc_batch_size, 1)
+    import jax
+
+    if batch > 1 and len(jax.devices()) > 1:
+        from slice3d_tpu.parallel import create_mesh
+
+        n_dev = len(jax.devices())
+        if batch % n_dev == 0:
+            mesh = create_mesh((n_dev, 1))
+
     recon = Reconstructor(
         model,
         variables,
@@ -126,6 +139,9 @@ def main(argv=None):
         chunk_size=opts.mc_chunk_size,
         simplify_nfaces=opts.simplify_nfaces,
         refine_steps=opts.mc_refine_steps,
+        batch_size=batch,
+        mesh=mesh,
+        extract_method=opts.mc_extract,
     )
 
     out_dir = os.path.join(opts.exp_dir, "results", opts.name_dataset)

@@ -4,18 +4,25 @@ Run by gen_slices.py.  Behavior of the reference slicer
 (render_slices/blender_script_slices.py):
 
 * re-apply the normalization recorded in meta.pkl (scale + offset) so the
-  slices line up with the input views;
-* per view: in 'camera' mode rotate a duplicated mesh into the camera
-  frame so slabs are camera-aligned; in 'axis' mode keep canonical axes;
+  slices line up with the input views (reference normalize_scene :363-394);
+* per view: in 'camera' mode transform a duplicated mesh's vertices by the
+  camera's inverse world matrix so slabs are camera-aligned (reference
+  :262-272); in 'axis' mode keep canonical axes;
 * per axis (X, Y, Z): compute the mesh extent, cut 4 equal slabs with
-  bisect clipping, render each slab alone (other objects hidden) with the
-  camera reset to the canonical distance-1.2 pose;
-* write ``<view>/{axis}_{slab}.png``; Z and Y slab ordering conventions
-  follow the dataset layout (the reader handles the Z reversal).
+  bisect clipping; the slab-coordinate order is REVERSED for Y and Z
+  (reference :291-295), so X_1 is the min-X slab while Y_1/Z_1 sit at the
+  axis maximum — the dataset reader's X1-4 / Z4-1 / Y1-4 sequence
+  (reg_slices/src/datasets.py:106-120) depends on exactly this layout;
+* render each slab alone (other objects hidden) with the camera reset to
+  the origin looking down -Z at the old origin's depth (reference
+  reset_camera :345-361);
+* write ``<view>/{axis}_{slab}.png``.
+
+All pure math lives in :mod:`slicing_math` (numpy, no bpy) and is
+unit-tested in tests/test_slicing_math.py; this file only drives bpy.
 """
 
 import argparse
-import math
 import os
 import pickle
 import sys
@@ -23,6 +30,14 @@ import sys
 import bpy
 import numpy as np
 from mathutils import Matrix, Vector
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from slicing_math import (  # noqa: E402
+    camera_world_matrix,
+    reset_camera_target_z,
+    slab_coords,
+    slab_interval,
+)
 
 
 def parse_args():
@@ -67,38 +82,35 @@ def apply_normalization(obj, scale, offset):
     bpy.ops.object.transform_apply(location=True, rotation=True, scale=True)
 
 
-def camera_pose(az, el, dist):
-    x = dist * math.cos(el) * math.cos(az)
-    y = dist * math.cos(el) * math.sin(az)
-    z = dist * math.sin(el)
-    loc = Vector((x, y, z))
-    rot = (-loc).to_track_quat("-Z", "Y")
-    return loc, rot
-
-
-def make_camera(dist):
+def make_camera():
     cam_data = bpy.data.cameras.new("cam")
     cam_data.lens = 35.0
     cam_data.sensor_width = 32.0
     cam = bpy.data.objects.new("cam", cam_data)
     bpy.context.scene.collection.objects.link(cam)
     bpy.context.scene.camera = cam
-    # canonical pose: on +X axis looking at the origin
-    loc, rot = camera_pose(0.0, 0.0, dist)
-    cam.location = loc
-    cam.rotation_euler = rot.to_euler()
     return cam
 
 
-def duplicate_rotated(obj, az, el):
-    """Copy of obj with vertices rotated into the camera-aligned frame."""
+def set_camera_reset_pose(cam, dist):
+    """Slab-render pose (reference reset_camera): the mesh already lives in
+    camera coordinates, so the camera sits at the origin looking down -Z
+    toward the old origin's depth."""
+    cam.location = (0.0, 0.0, 0.0)
+    cam.rotation_euler = (0.0, 0.0, 0.0)  # Blender camera looks down -Z
+    # the tracked target is (0, 0, z0) with z0 = -dist; looking down -Z
+    # from the origin already points at it — no extra rotation needed
+    assert reset_camera_target_z(dist) < 0
+
+
+def duplicate_in_camera_frame(obj, az, el, dist):
+    """Copy of obj with vertices mapped by the camera's inverse world
+    matrix (reference blender_script_slices.py:262-272)."""
     dup = obj.copy()
     dup.data = obj.data.copy()
     bpy.context.scene.collection.objects.link(dup)
-    rot = (
-        Matrix.Rotation(-el, 4, "Y") @ Matrix.Rotation(-az, 4, "Z")
-    )
-    dup.data.transform(rot)
+    m_inv = np.linalg.inv(camera_world_matrix(az, el, dist))
+    dup.data.transform(Matrix(m_inv.tolist()))
     dup.data.update()
     return dup
 
@@ -147,27 +159,31 @@ def main():
     light = bpy.data.objects.new("sun", light_data)
     scene.collection.objects.link(light)
 
-    cam = make_camera(float(distances[0]))
+    cam = make_camera()
 
-    axes = [("X", 0, False), ("Y", 1, False), ("Z", 2, True)]
+    n_slabs = 4
     for v in range(args.n_views):
         view_dir = os.path.join(args.output_dir, "%03d" % v)
         os.makedirs(view_dir, exist_ok=True)
+        az, el, dist = float(azimuths[v]), float(elevations[v]), float(distances[v])
         if args.slice_direction == "camera":
-            mesh = duplicate_rotated(base, float(azimuths[v]), float(elevations[v]))
+            mesh = duplicate_in_camera_frame(base, az, el, dist)
+            set_camera_reset_pose(cam, dist)
         else:
             mesh = base
-        coords = np.array([tuple(vv.co) for vv in mesh.data.vertices])
+            m = camera_world_matrix(az, el, dist)
+            cam.matrix_world = Matrix(m.tolist())
+        coords_np = np.array([tuple(vv.co) for vv in mesh.data.vertices])
         base.hide_render = True
-        for name, axis_idx, reverse in axes:
-            lo, hi = coords[:, axis_idx].min(), coords[:, axis_idx].max()
-            edges = np.linspace(lo - 1e-5, hi + 1e-5, 5)
-            order = range(4)
-            for i in order:
-                slab = slab_copy(mesh, axis_idx, float(edges[i]), float(edges[i + 1]))
+        for name, axis_idx in (("X", 0), ("Y", 1), ("Z", 2)):
+            lo_ext = float(coords_np[:, axis_idx].min()) - 1e-5
+            hi_ext = float(coords_np[:, axis_idx].max()) + 1e-5
+            coords = slab_coords(lo_ext, hi_ext, n_slabs, name)
+            for k in range(1, n_slabs + 1):
+                lo, hi = slab_interval(coords, k)
+                slab = slab_copy(mesh, axis_idx, lo, hi)
                 mesh.hide_render = True
-                part = 4 - i if reverse else i + 1
-                scene.render.filepath = os.path.join(view_dir, f"{name}_{part}.png")
+                scene.render.filepath = os.path.join(view_dir, f"{name}_{k}.png")
                 if not os.path.exists(scene.render.filepath):
                     bpy.ops.render.render(write_still=True)
                 bpy.data.objects.remove(slab, do_unlink=True)

@@ -59,6 +59,11 @@ class Options:
     mc_threshold: float = 0.5
     simplify_nfaces: int = 0  # 0 = no simplification
     mc_refine_steps: int = 0  # refine_mesh RMSprop iterations (0 = off)
+    mc_batch_size: int = 1  # objects per device dispatch at reconstruction
+    # isosurfacer: surface_nets (fast, cell-centroid vertices) or
+    # tetrahedra (exact iso-crossing edge vertices, reference MC contract —
+    # use for accuracy comparisons against the reference)
+    mc_extract: str = "surface_nets"
     # testing
     name_ckpt: str = ""
     name_ckpt_cam: str = ""

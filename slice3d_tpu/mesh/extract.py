@@ -170,9 +170,69 @@ class GridRefiner:
             stats["final_resolution"] = res
         return grid
 
+    def build_batch(self, evaluator, dense_vals, stats_list) -> list:
+        """Batched coarse-to-fine: B grids, ONE device dispatch per level.
+
+        Args:
+          evaluator: ``(idx (B, m) int32, res) -> (B, >=m)`` values —
+            evaluates every object of the batch at its own index list in a
+            single dispatch (per-object lists padded to a common length).
+          dense_vals: (B, >=(res0+1)^3) precomputed coarse-lattice values
+            (from the fused encode+dense dispatch).
+          stats_list: B dicts; per-object ``n_points_evaluated`` and
+            ``final_resolution`` are recorded.
+
+        Returns a list of B dense ``(res+1)^3`` numpy grids.  The host-side
+        upsample+mask stage runs per object on worker threads (the native
+        kernel releases the GIL).
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        n0 = self.resolution0
+        n_lattice0 = (n0 + 1) ** 3
+        dense_np = np.asarray(dense_vals, np.float32)
+        b = dense_np.shape[0]
+        grids = [dense_np[i, :n_lattice0].reshape(n0 + 1, n0 + 1, n0 + 1)
+                 for i in range(b)]
+        n_eval = [n_lattice0] * b
+
+        def refine_one(grid):
+            if self.use_native:
+                from . import refine_level
+
+                return refine_level(grid, self.threshold, self.dilate)
+            active = _active_cells(grid, self.threshold, self.dilate)
+            mask = _touched_lattice_mask(active)
+            res_cur = grid.shape[0] - 1
+            return _upsample2x(grid), self.lattice_indices(2 * res_cur, mask)
+
+        res = n0
+        with ThreadPoolExecutor(min(b, 8)) as pool:
+            for _ in range(self.upsampling_steps):
+                results = list(pool.map(refine_one, grids))
+                grids = [r[0] for r in results]
+                idxs = [r[1] for r in results]
+                res *= 2
+                m_max = max((len(i) for i in idxs), default=0)
+                if m_max == 0:
+                    continue
+                idx_b = np.zeros((b, m_max), np.int32)
+                for i, idx in enumerate(idxs):
+                    idx_b[i, :len(idx)] = idx
+                vals = np.asarray(evaluator(idx_b, res), np.float32)
+                for i, idx in enumerate(idxs):
+                    grids[i].reshape(-1)[idx] = vals[i, :len(idx)]
+                    n_eval[i] += len(idx)
+
+        for i, st in enumerate(stats_list):
+            st["n_points_evaluated"] = n_eval[i]
+            st["final_resolution"] = res
+        return grids
+
 
 def extract_mesh_from_grid(
-    grid: np.ndarray, threshold: float = 0.0, box_size: float = 1.0
+    grid: np.ndarray, threshold: float = 0.0, box_size: float = 1.0,
+    method: str = "surface_nets",
 ) -> Mesh:
     """Pad, isosurface, and map vertices to world coordinates.
 
@@ -181,7 +241,7 @@ def extract_mesh_from_grid(
     """
     res = grid.shape[0] - 1
     padded = np.pad(grid, 1, mode="constant", constant_values=-1e6)
-    mesh = isosurface(padded, threshold)
+    mesh = isosurface(padded, threshold, method=method)
     if mesh.is_empty:
         return mesh
     verts = (mesh.vertices - 1.0) / res  # undo pad, normalize to [0, 1]
@@ -199,6 +259,7 @@ class MeshGenerator:
     box_size: float = 1.0
     chunk_size: int = 65536
     dilate: int = 1
+    method: str = "surface_nets"  # isosurfacer (see mesh.isosurface)
 
     def generate(self, evaluator: Evaluator, dense_fn: Optional[Callable] = None):
         import time
@@ -217,6 +278,7 @@ class MeshGenerator:
         grid = refiner.build(evaluator, stats, dense_fn=dense_fn)
         stats["time_eval_points"] = time.perf_counter() - t0
         t0 = time.perf_counter()
-        mesh = extract_mesh_from_grid(grid, logit_thr, self.box_size)
+        mesh = extract_mesh_from_grid(grid, logit_thr, self.box_size,
+                                      method=self.method)
         stats["time_marching"] = time.perf_counter() - t0
         return mesh, stats

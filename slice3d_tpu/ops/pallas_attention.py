@@ -49,12 +49,7 @@ def attention_kernel_eligible(t: int) -> bool:
     return pallas_available() and t >= 1024 and t % 512 == 0
 
 
-def spatial_attention(q, k, v, scale: float, *, block_q: int = 512,
-                      interpret: bool = False):
-    """Softmax attention over (B, H, T, DH) tensors -> (B, H, T, DH).
-
-    Equivalent to softmax(q k^T * scale) v with fp32 softmax.
-    """
+def _attention_forward(q, k, v, scale: float, block_q: int, interpret: bool):
     b, h, t, dh = q.shape
     bh = b * h
     bq = min(block_q, t)
@@ -83,3 +78,47 @@ def spatial_attention(q, k, v, scale: float, *, block_q: int = 512,
         ),
     )(qf, kf, vf)
     return out.reshape(b, h, t, dh)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_attention(scale: float, block_q: int, interpret: bool):
+    """custom_vjp wrapper: Pallas forward, XLA-einsum backward.
+
+    pallas_call has no reverse-mode rule, so without this LDM training
+    (which differentiates through the UNet AttentionBlocks) would fail.
+    The backward recomputes probs in fp32 — the same HBM traffic that
+    differentiating the plain einsum path would have produced.
+    """
+
+    @jax.custom_vjp
+    def attn(q, k, v):
+        return _attention_forward(q, k, v, scale, block_q, interpret)
+
+    def fwd(q, k, v):
+        return attn(q, k, v), (q, k, v)
+
+    def bwd(res, do):
+        q, k, v = res
+        logits = jnp.einsum("bhtd,bhsd->bhts", q, k).astype(jnp.float32)
+        p = jax.nn.softmax(logits * scale, axis=-1)
+        dv = jnp.einsum("bhts,bhtd->bhsd", p.astype(do.dtype), do)
+        dp = jnp.einsum("bhtd,bhsd->bhts", do, v).astype(jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+        ds = ds.astype(q.dtype)
+        dq = jnp.einsum("bhts,bhsd->bhtd", ds, k)
+        dk = jnp.einsum("bhts,bhtd->bhsd", ds, q)
+        return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+    attn.defvjp(fwd, bwd)
+    return attn
+
+
+def spatial_attention(q, k, v, scale: float, *, block_q: int = 512,
+                      interpret: bool = False):
+    """Softmax attention over (B, H, T, DH) tensors -> (B, H, T, DH).
+
+    Equivalent to softmax(q k^T * scale) v with fp32 softmax.
+    Differentiable: forward runs the fused Pallas kernel, reverse-mode AD
+    uses a custom XLA einsum VJP.
+    """
+    return _make_attention(float(scale), int(block_q), bool(interpret))(q, k, v)

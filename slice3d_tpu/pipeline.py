@@ -5,11 +5,24 @@ refiner, and the native isosurfacer together.  The feature pyramids are
 encoded ONCE per object and kept on device; the per-chunk SDF query is a
 single jit-compiled program of fixed shape (compiled once, reused across
 all refinement rounds and objects).
+
+Batched + multi-device operation (the reference's Generator3D loop at
+reg_slices/reconstruct.py:378-415 is strictly serial, single-GPU):
+
+* ``batch_size B > 1`` runs B objects through encode and every SDF query
+  dispatch together — the 13-token attention head and the conv trunks are
+  far from saturating one chip at batch 1, so this is nearly free
+  throughput.  Each refinement level stays ONE device dispatch for the
+  whole batch (per-object index lists padded to a common chunk grid).
+* ``mesh=`` shards that object batch over the mesh's ``data`` axis with
+  ``jax.sharding.NamedSharding`` — the SDF query axis is embarrassingly
+  parallel (SURVEY §2.5/§5), so no collectives are needed and scaling is
+  linear in chips.  The same jitted program serves 1 and N devices.
 """
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +44,10 @@ class Reconstructor:
       variables: flax variables for the model.
       resolution0/upsampling_steps/threshold/chunk_size: MISE-compatible
         operating point (reference options.py:45-48).
+      batch_size: objects evaluated together per device dispatch.
+      mesh: optional ``jax.sharding.Mesh`` with a ``data`` axis; the object
+        batch is sharded over it (batch_size must be divisible by the data
+        axis size).
     """
 
     def __init__(
@@ -45,19 +62,37 @@ class Reconstructor:
         box_size: float = 1.0,
         simplify_nfaces: int = 0,
         refine_steps: int = 0,
+        batch_size: int = 1,
+        mesh=None,
+        extract_method: str = "surface_nets",
     ):
         self.model = model
-        self.variables = variables
         self.simplify_nfaces = simplify_nfaces
         self.refine_steps = refine_steps
         self.chunk_size = chunk_size
+        self.batch_size = int(batch_size)
+        self.mesh = mesh
         self.generator = MeshGenerator(
             resolution0=resolution0,
             upsampling_steps=upsampling_steps,
             threshold=threshold,
             chunk_size=chunk_size,
             box_size=box_size,
+            method=extract_method,
         )
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if self.batch_size % mesh.shape["data"] != 0:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by data axis "
+                    f"size {mesh.shape['data']}")
+            self._sh_batch = NamedSharding(mesh, P("data"))
+            self._sh_chunks = NamedSharding(mesh, P(None, "data"))
+            self._sh_repl = NamedSharding(mesh, P())
+            variables = jax.device_put(variables, self._sh_repl)
+        self.variables = variables
 
         is_slicenet = isinstance(model, SliceNetModel)
         is_disn = isinstance(model, DISNModel)
@@ -85,61 +120,63 @@ class Reconstructor:
             method = model.encode if is_disn else model.encode_folded
             return model.apply(variables, imgs, method=method)
 
+        # Batch-native query: pts (B, M, 3) -> values (B, M).
         if is_disn:
 
-            def make_query_xyz(m):
-                def query_xyz(variables, encoded, pts, trans_right, obj_rot):
+            def make_query_pts(m):
+                def query_pts(variables, encoded, pts, trans_right, obj_rot):
                     pyramids, feat_global = encoded
-                    qry_norot = pts[None]
-                    qry_rot = jnp.einsum("bmi,bij->bmj", qry_norot, obj_rot)
+                    qry_rot = jnp.einsum("bmi,bij->bmj", pts, obj_rot)
                     sdf = m.apply(
-                        variables, pyramids, feat_global, qry_rot, qry_norot,
+                        variables, pyramids, feat_global, qry_rot, pts,
                         trans_right, method=m.query,
                     )
-                    return -sdf[0]
+                    return -sdf
 
-                return query_xyz
+                return query_pts
 
         else:
 
-            def make_query_xyz(m):
-                def query_xyz(variables, pyramids, pts, trans_tp):
+            def make_query_pts(m):
+                def query_pts(variables, packed, pts, trans_tp):
                     # test-mode canonical->camera mapping: flip y/z
                     # (models.py:53-56)
-                    qry = pts[None] * jnp.array([1.0, -1.0, -1.0],
-                                                dtype=pts.dtype)
+                    qry = pts * jnp.array([1.0, -1.0, -1.0], dtype=pts.dtype)
                     sdf = m.apply(
-                        variables, pyramids, qry, trans_tp,
+                        variables, packed, qry, trans_tp,
                         method=m.query_folded,
                     )
-                    return -sdf[0]  # logit convention: inside positive
+                    return -sdf  # logit convention: inside positive
 
-                return query_xyz
+                return query_pts
 
-        query_xyz_fast = make_query_xyz(model)       # fused hot path
-        query_xyz = make_query_xyz(model_diff)       # autodiff-safe (refine)
+        query_pts_fast = make_query_pts(model)       # fused hot path
+        query_pts_diff = make_query_pts(model_diff)  # autodiff-safe (refine)
 
         def query_row(variables, encoded, idx, res, extras):
-            # one fixed-size chunk of flat lattice indices -> values
-            return query_xyz_fast(variables, encoded, lattice_pts(idx, res),
+            # one fixed-size chunk of flat lattice indices -> values;
+            # idx (B, c) -> (B, c)
+            return query_pts_fast(variables, encoded, lattice_pts(idx, res),
                                   *extras)
 
-        # One device dispatch per refinement level: lax.scan over (k, c)
+        # One device dispatch per refinement level: lax.scan over (k, B, c)
         # index chunks.  On a tunneled chip each dispatch is ~100 ms of RPC
         # overhead vs ~14 ms of compute per 64k chunk, so per-chunk host
         # calls sit 8x off the wire-limited optimum.  jit re-specializes per
         # distinct k (rounded to powers of two to bound compile count).
         @jax.jit
-        def query_many(variables, encoded, idx2d, res, *extras):
+        def query_many(variables, encoded, idx3d, res, *extras):
             def body(carry, idx):
                 return carry, query_row(variables, encoded, idx, res, extras)
 
-            _, vals = jax.lax.scan(body, 0, idx2d)
-            return vals.reshape(-1)
+            _, vals = jax.lax.scan(body, 0, idx3d)  # (k, B, c)
+            b = idx3d.shape[1]
+            return jnp.transpose(vals, (1, 0, 2)).reshape(b, -1)
 
         # Fused encode + dense coarse level: a single dispatch computes the
-        # feature pyramids AND the full (res0+1)^3 coarse lattice (indices
-        # are a device-side arange — only the image crosses the wire).
+        # feature pyramids AND the full (res0+1)^3 coarse lattice for every
+        # object in the batch (indices are a device-side arange — only the
+        # images cross the wire).
         n0 = int(resolution0)
         c = int(chunk_size)
         k0 = -(-((n0 + 1) ** 3) // c)
@@ -150,31 +187,36 @@ class Reconstructor:
             encoded = encode_fn.__wrapped__(variables, imgs)
             enc_q = encoded if is_disn else (
                 encoded[0] if is_slicenet else encoded)
+            b = imgs.shape[0]
 
             def body(carry, idx):
-                return carry, query_row(variables, enc_q, idx, jnp.int32(n0),
-                                        extras)
+                idx_b = jnp.broadcast_to(idx[None], (b, idx.shape[0]))
+                return carry, query_row(variables, enc_q, idx_b,
+                                        jnp.int32(n0), extras)
 
-            _, vals = jax.lax.scan(body, 0, idx0)
-            return encoded, vals.reshape(-1)
+            _, vals = jax.lax.scan(body, 0, idx0)  # (k0, B, c)
+            return encoded, jnp.transpose(vals, (1, 0, 2)).reshape(b, -1)
 
         self._encode = encode_fn
         self._encode_dense = encode_dense
         self._query_many = query_many
-        self._query_xyz = query_xyz  # differentiable, for refine_mesh
+        self._query_pts_diff = query_pts_diff  # differentiable, for refine
         self._is_slicenet = is_slicenet
         self._is_disn = is_disn
 
-    def _pad_chunks(self, idx: np.ndarray) -> np.ndarray:
-        """(m,) flat lattice indices -> (k, c) chunk rows, k a power of 2."""
+    def _pad_chunks(self, idx_b: np.ndarray) -> np.ndarray:
+        """(B, m) flat lattice indices -> (k, B, c) chunk grid, k a power
+        of 2 (bounds jit re-specialization)."""
+        b, m = idx_b.shape
         c = self.chunk_size
-        k = max(-(-len(idx) // c), 1)
+        k = max(-(-m // c), 1)
         k_pad = 1
         while k_pad < k:
             k_pad *= 2
-        padded = np.zeros((k_pad * c,), np.int32)
-        padded[:len(idx)] = idx
-        return padded.reshape(k_pad, c)
+        padded = np.zeros((b, k_pad * c), np.int32)
+        padded[:, :m] = idx_b
+        return np.ascontiguousarray(
+            padded.reshape(b, k_pad, c).transpose(1, 0, 2))
 
     # -- encoding ---------------------------------------------------------
 
@@ -188,41 +230,60 @@ class Reconstructor:
 
     # -- full object reconstruction ---------------------------------------
 
-    def _conditioned_fns(self, feed: Dict[str, np.ndarray]):
-        """Per-object closures: (level evaluator, dense coarse fn, logit fn).
-
-        The dense fn fuses encode + full coarse lattice in ONE dispatch; the
-        evaluator covers each masked refinement level in one dispatch.
-        """
+    def _stack_inputs(self, feeds: Sequence[Dict[str, np.ndarray]]):
+        """Stack B feed dicts into batched (imgs, extras) device arrays."""
         if self._is_disn:
-            imgs = jnp.asarray(feed["img_input"])[None]
-            extras = (jnp.asarray(feed["trans_mat_right"])[None],
-                      jnp.asarray(feed["obj_rot_mat"])[None])
+            imgs = np.stack([f["img_input"] for f in feeds])
+            extras = (np.stack([f["trans_mat_right"] for f in feeds]),
+                      np.stack([f["obj_rot_mat"] for f in feeds]))
         else:
-            extras = (jnp.asarray(feed["trans_mat_wo_rot_tp"])[None],)
+            extras = (np.stack([f["trans_mat_wo_rot_tp"] for f in feeds]),)
             if self._is_slicenet:
-                imgs = jnp.asarray(feed["img_input"])[None]
+                imgs = np.stack([f["img_input"] for f in feeds])
             else:
-                imgs = jnp.asarray(feed["img_slices"])[None]
+                imgs = np.stack([f["img_slices"] for f in feeds])
+        if self.mesh is not None:
+            imgs = jax.device_put(imgs, self._sh_batch)
+            extras = tuple(jax.device_put(e, self._sh_batch) for e in extras)
+        else:
+            imgs = jnp.asarray(imgs)
+            extras = tuple(jnp.asarray(e) for e in extras)
+        return imgs, extras
 
+    def _conditioned_fns(self, feeds: Sequence[Dict[str, np.ndarray]]):
+        """Batch closures: (level evaluator, dense coarse vals, logit fns).
+
+        The dense vals come from the fused encode+coarse dispatch; the
+        evaluator covers each masked refinement level of ALL B objects in
+        one dispatch.  ``logit_fns[b]`` is the per-object differentiable
+        query used by refine_mesh.
+        """
+        imgs, extras = self._stack_inputs(feeds)
         encoded, dense_vals = self._encode_dense(self.variables, imgs, *extras)
         enc_q = encoded if self._is_disn else (
             encoded[0] if self._is_slicenet else encoded)
 
-        def dense_fn(res: int):
-            return dense_vals  # precomputed by the fused dispatch
-
-        def evaluator(idx: np.ndarray, res: int):
-            # returns the (padded) device array: the caller slices/syncs
+        def evaluator(idx_b: np.ndarray, res: int):
+            # idx_b (B, m) -> (B, >=m) padded device array (caller slices)
+            chunks = self._pad_chunks(idx_b)
+            if self.mesh is not None:
+                chunks = jax.device_put(chunks, self._sh_chunks)
             return self._query_many(
-                self.variables, enc_q, jnp.asarray(self._pad_chunks(idx)),
+                self.variables, enc_q, jnp.asarray(chunks),
                 jnp.int32(res), *extras,
             )
 
-        def logit_fn(pts):
-            return self._query_xyz(self.variables, enc_q, pts, *extras)
+        def logit_fn_for(b: int):
+            enc_b = jax.tree_util.tree_map(lambda x: x[b:b + 1], enc_q)
+            extras_b = tuple(e[b:b + 1] for e in extras)
 
-        return evaluator, dense_fn, logit_fn
+            def logit_fn(pts):
+                return self._query_pts_diff(
+                    self.variables, enc_b, pts[None], *extras_b)[0]
+
+            return logit_fn
+
+        return evaluator, dense_vals, logit_fn_for
 
     def _maybe_refine(self, mesh: Mesh, logit_fn, stats: Dict) -> Mesh:
         """Optional refine_mesh polish (reference reconstruct.py:271-332)."""
@@ -240,72 +301,107 @@ class Reconstructor:
         stats["time_refine"] = time.perf_counter() - t0
         return Mesh(vertices=verts, faces=mesh.faces)
 
-    def reconstruct(self, feed: Dict[str, np.ndarray]) -> Tuple[Mesh, Dict]:
-        """feed: one dataset sample (unbatched numpy dict)."""
-        evaluator, dense_fn, logit_fn = self._conditioned_fns(feed)
-        mesh, stats = self.generator.generate(evaluator, dense_fn=dense_fn)
-        if self.simplify_nfaces and not mesh.is_empty:
-            import time
+    def _march_one(self, grid: np.ndarray, stats: Dict) -> Mesh:
+        import time
 
+        from .mesh.extract import extract_mesh_from_grid
+
+        logit_thr = float(np.log(self.generator.threshold)
+                          - np.log(1.0 - self.generator.threshold))
+        t0 = time.perf_counter()
+        mesh = extract_mesh_from_grid(grid, logit_thr, self.generator.box_size,
+                                      method=self.generator.method)
+        if self.simplify_nfaces and not mesh.is_empty:
             from .mesh import simplify_mesh
 
-            t0 = time.perf_counter()
             mesh = simplify_mesh(mesh, self.simplify_nfaces)
-            stats["time_simplify"] = time.perf_counter() - t0
-        return self._maybe_refine(mesh, logit_fn, stats), stats
+        stats["time_marching"] = time.perf_counter() - t0
+        return mesh
+
+    def reconstruct(self, feed: Dict[str, np.ndarray]) -> Tuple[Mesh, Dict]:
+        """feed: one dataset sample (unbatched numpy dict)."""
+        grids, logit_fn_for, stats_list = self._build_grids([feed])
+        stats = stats_list[0]
+        mesh = self._march_one(grids[0], stats)
+        return self._maybe_refine(mesh, logit_fn_for(0), stats), stats
+
+    def reconstruct_batch(
+        self, feeds: Sequence[Dict[str, np.ndarray]]
+    ) -> List[Tuple[Mesh, Dict]]:
+        """Reconstruct up to ``batch_size`` objects in batched dispatches."""
+        grids, logit_fn_for, stats_list = self._build_grids(list(feeds))
+        out = []
+        for b, (grid, stats) in enumerate(zip(grids, stats_list)):
+            mesh = self._march_one(grid, stats)
+            out.append((self._maybe_refine(mesh, logit_fn_for(b), stats),
+                        stats))
+        return out
 
     def reconstruct_all(self, feeds, on_result) -> None:
         """Pipelined reconstruction over many objects.
 
-        The native isosurface/simplify stage of object i runs on a host
-        worker thread while the device already evaluates object i+1's SDF
-        grid — the host/device overlap the reference's per-object loop
-        lacks.  ``on_result(index, mesh, stats)`` is called in order.
+        Objects are grouped into device batches of ``batch_size``; the
+        native isosurface/simplify stage of batch i runs on host worker
+        threads while the device already evaluates batch i+1's SDF grids —
+        the host/device overlap the reference's per-object loop lacks.
+        ``on_result(index, mesh, stats)`` is called in order.
         """
-        import time
         from concurrent.futures import ThreadPoolExecutor
 
-        logit_thr = float(
-            np.log(self.generator.threshold) - np.log(1.0 - self.generator.threshold)
-        )
+        b = self.batch_size
+        # marching releases the GIL inside the native kernels, so a few
+        # workers genuinely parallelize the host stage for a batch
+        n_workers = max(min(b, 8), 1)
 
-        def march(grid, stats):
-            from .mesh.extract import extract_mesh_from_grid
+        def batches():
+            buf = []
+            for feed in feeds:
+                buf.append(feed)
+                if len(buf) == b:
+                    yield buf
+                    buf = []
+            if buf:
+                yield buf
 
-            t0 = time.perf_counter()
-            mesh = extract_mesh_from_grid(grid, logit_thr, self.generator.box_size)
-            if self.simplify_nfaces and not mesh.is_empty:
-                from .mesh import simplify_mesh
+        with ThreadPoolExecutor(n_workers) as pool:
+            pending = None  # (base_idx, n_real, futures, logit_fn_for, stats)
 
-                mesh = simplify_mesh(mesh, self.simplify_nfaces)
-            stats["time_marching"] = time.perf_counter() - t0
-            return mesh, stats
+            def finish(base, n_real, futs, logit_fn_for, stats_list):
+                for j in range(n_real):
+                    mesh = futs[j].result()
+                    # refinement dispatches device programs: keep it on the
+                    # main thread (single compile stream) — marching stays
+                    # overlapped
+                    mesh = self._maybe_refine(mesh, logit_fn_for(j),
+                                              stats_list[j])
+                    on_result(base + j, mesh, stats_list[j])
 
-        with ThreadPoolExecutor(1) as pool:
-            pending = None  # (index, future, logit_fn)
-
-            def finish(j, fut, logit_fn):
-                mesh, st = fut.result()
-                # refinement dispatches device programs: keep it on the main
-                # thread (single compile stream) — marching stays overlapped
-                mesh = self._maybe_refine(mesh, logit_fn, st)
-                on_result(j, mesh, st)
-
-            for i, feed in enumerate(feeds):
-                grid, logit_fn, stats = self._build_grid(feed)
+            base_idx = 0
+            for group in batches():
+                n_real = len(group)
+                if n_real < b:
+                    # pad the tail batch (compiled shapes stay fixed)
+                    group = group + [group[-1]] * (b - n_real)
+                grids, logit_fn_for, stats_list = self._build_grids(group)
+                futs = [pool.submit(self._march_one, grids[j], stats_list[j])
+                        for j in range(n_real)]
                 if pending is not None:
                     finish(*pending)
-                pending = (i, pool.submit(march, grid, stats), logit_fn)
+                pending = (base_idx, n_real, futs, logit_fn_for, stats_list)
+                base_idx += n_real
             if pending is not None:
                 finish(*pending)
 
-    def _build_grid(self, feed):
-        """Device portion only: encode + refined value grid (numpy)."""
+    def _build_grids(self, feeds: Sequence[Dict[str, np.ndarray]]):
+        """Device portion: encode + refined value grids (list of numpy).
+
+        Returns (grids, logit_fn_for, stats_list).
+        """
         import time
 
         from .mesh.extract import GridRefiner
 
-        evaluator, dense_fn, logit_fn = self._conditioned_fns(feed)
+        evaluator, dense_vals, logit_fn_for = self._conditioned_fns(feeds)
         g = self.generator
         logit_thr = float(np.log(g.threshold) - np.log(1.0 - g.threshold))
         refiner = GridRefiner(
@@ -313,11 +409,18 @@ class Reconstructor:
             threshold=logit_thr, box_size=g.box_size, chunk_size=g.chunk_size,
             dilate=g.dilate,
         )
-        stats = {}
+        stats_list = [dict() for _ in feeds]
         t0 = time.perf_counter()
-        grid = refiner.build(evaluator, stats, dense_fn=dense_fn)
-        stats["time_eval_points"] = time.perf_counter() - t0
-        return grid, logit_fn, stats
+        grids = refiner.build_batch(evaluator, dense_vals, stats_list)
+        dt = time.perf_counter() - t0
+        for st in stats_list:
+            st["time_eval_points"] = dt
+        return grids, logit_fn_for, stats_list
+
+    # Back-compat single-object helper used by tests/benches.
+    def _build_grid(self, feed):
+        grids, logit_fn_for, stats_list = self._build_grids([feed])
+        return grids[0], logit_fn_for(0), stats_list[0]
 
     def predicted_slices(self, img_input: np.ndarray) -> np.ndarray:
         """SliceNet only: (S, H, W, 3) predicted slice images in [-1, 1]."""

@@ -73,6 +73,17 @@ class TopKCheckpointer:
         self.k = k
         self.mode = mode
         self.best: list = []  # [(score, path)] sorted best-first
+        # Seed from checkpoints already on disk so a resumed run keeps
+        # pruning against the previous run's best (otherwise files
+        # accumulate past k across restarts).
+        tag = self.monitor.replace("/", "_")
+        for path in glob.glob(os.path.join(ckpt_dir, f"step=*-{tag}=*.ckpt")):
+            try:
+                value = float(path.rsplit(f"{tag}=", 1)[1][:-len(".ckpt")])
+            except (IndexError, ValueError):
+                continue
+            self.best.append((value if mode == "min" else -value, path))
+        self.best.sort(key=lambda t: t[0])
 
     def update(self, value: float, step: int, state: Dict[str, Any]) -> Optional[str]:
         """Save ``state`` if ``value`` ranks in the top k. Returns the path."""

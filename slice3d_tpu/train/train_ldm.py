@@ -95,11 +95,18 @@ class LDMTrainer:
             lr_fn = self.lr
         # one optimizer over {net params, logvar}: the mask freezes the VAE
         # subtree always and logvar unless learn_logvar (ddpm.py:1420-1429)
-        self.tx = optax.masked(
+        self.accumulate = int(accumulate)
+        tx = optax.masked(
             optax.adamw(lr_fn),
             lambda tree: {"net": _trainable_mask(tree["net"]),
                           "logvar": learn_logvar},
         )
+        if self.accumulate > 1:
+            # gradient accumulation (Lightning accumulate_grad_batches):
+            # grads average over `accumulate` micro-steps, the inner update
+            # applies on the k-th.  state.step counts micro-steps.
+            tx = optax.MultiSteps(tx, every_k_schedule=self.accumulate)
+        self.tx = tx
         self.mesh = mesh if mesh is not None else create_mesh()
         self._train_step = jax.jit(self._step_impl, donate_argnums=(0,))
         self._compute_scale = jax.jit(self._scale_impl)
@@ -195,8 +202,17 @@ class LDMTrainer:
         new_ema = state.ema_params
         if self.use_ema:
             new_ema = ema_update(
-                state.ema_params, _trainable_subtree(new_params), state.step
+                state.ema_params, _trainable_subtree(new_params),
+                state.step // self.accumulate,  # EMA warmup per optimizer step
             )
+            if self.accumulate > 1:
+                # EMA tracks OPTIMIZER steps: hold it on micro-steps where
+                # MultiSteps only accumulated (params unchanged)
+                applied = (state.step + 1) % self.accumulate == 0
+                new_ema = jax.tree_util.tree_map(
+                    lambda e, n: jnp.where(applied, n, e),
+                    state.ema_params, new_ema,
+                )
         batch_stats = _merge_stats(state.batch_stats, new_stats) \
             if self.cond_train_bn else state.batch_stats
         return (

@@ -56,6 +56,7 @@ class VAEFinetuneTrainer:
         perceptual_weight: float = 1.0,
         disc_start: int = 50001,
         disc_factor: float = 1.0,
+        disc_weight: float = 0.5,
         vae_ch: int = 128,
         vae_mult=(1, 2, 4, 4),
         vae_nres: int = 2,
@@ -70,12 +71,16 @@ class VAEFinetuneTrainer:
         self.perceptual_weight = perceptual_weight
         self.disc_start = disc_start
         self.disc_factor = disc_factor
+        # static multiplier on the adaptive weight (reference
+        # contperceptual.py discriminator_weight; 0.5 in the AE configs)
+        self.disc_weight = disc_weight
         self.vgg19_params = vgg19_params
         self.lpips_params = lpips_params
         self.tx = optax.adam(lr, b1=0.5, b2=0.9)
         self.tx_d = optax.adam(lr, b1=0.5, b2=0.9)
         self.mesh = create_mesh()
         self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+        self._eval = jax.jit(self._eval_impl)
 
     def init_state(self, seed: int = 0) -> VAETrainState:
         s = self.img_size
@@ -149,7 +154,7 @@ class VAEFinetuneTrainer:
 
             nll_gn = optax.global_norm(jax.grad(nll_of_last)(last))
             g_gn = optax.global_norm(jax.grad(g_of_last)(last))
-            d_weight = adaptive_disc_weight(nll_gn, g_gn)
+            d_weight = adaptive_disc_weight(nll_gn, g_gn, self.disc_weight)
 
             loss = nll + self.kl_weight * kl + d_weight * gan_on * g
             logs = {"rec_loss": nll, "kl": kl, "g_loss": g, "d_weight": d_weight}
@@ -192,3 +197,57 @@ class VAEFinetuneTrainer:
 
     def train_step(self, state: VAETrainState, batch: Dict[str, np.ndarray], rng):
         return self._step(state, put_batch(batch, self.mesh), rng)
+
+    # -- validation -------------------------------------------------------
+
+    def _eval_impl(self, params, batch, rng):
+        x = batch["image"]
+        rec, moments = self._reconstruct(params, x, rng)
+        logs = {"rec_loss": jnp.mean(jnp.abs(rec - x)),
+                "kl": jnp.mean(DiagonalGaussian(moments).kl())}
+        if self.lpips_params is not None and self.perceptual_weight > 0:
+            logs["lpips"] = jnp.mean(lpips_distance(self.lpips_params, x, rec))
+        return logs
+
+    def eval_loss(self, state: VAETrainState, batch, rng) -> Dict[str, float]:
+        """Validation losses (reference logs val/rec_loss as the monitor,
+        autoencoder.py:404-440 + AE config monitor key)."""
+        logs = self._eval(state.params, put_batch(batch, self.mesh), rng)
+        return {k: float(v) for k, v in logs.items()}
+
+    def reconstruct(self, state: VAETrainState, images, rng) -> np.ndarray:
+        """(N, H, W, 3) -> VAE reconstructions (sampled posterior)."""
+        rec, _ = self._reconstruct(state.params, jnp.asarray(images), rng)
+        return np.asarray(rec)
+
+    # -- checkpoint -------------------------------------------------------
+
+    def state_payload(self, state: VAETrainState) -> Dict[str, Any]:
+        return {
+            "params": state.params,
+            "disc_params": state.disc_params,
+            "disc_stats": state.disc_stats,
+            "opt_state": state.opt_state,
+            "disc_opt_state": state.disc_opt_state,
+            "step": int(state.step),
+        }
+
+    def save(self, state: VAETrainState, path: str) -> str:
+        from .checkpoint import save_checkpoint
+
+        return save_checkpoint(path, self.state_payload(state))
+
+    def restore(self, state: VAETrainState, path: str) -> VAETrainState:
+        from .checkpoint import restore_checkpoint
+
+        target = self.state_payload(state)
+        target["step"] = 0
+        payload = restore_checkpoint(path, target)
+        return state.replace(
+            params=payload["params"],
+            disc_params=payload["disc_params"],
+            disc_stats=payload["disc_stats"],
+            opt_state=payload["opt_state"],
+            disc_opt_state=payload["disc_opt_state"],
+            step=jnp.asarray(payload["step"], jnp.int32),
+        )

@@ -124,6 +124,31 @@ def test_learn_logvar_and_scheduler_and_bn():
     assert abs(tr.current_lr(2) - tr.lr) < 1e-9
 
 
+@pytest.mark.slow
+def test_gradient_accumulation(batch):
+    """accumulate=2: micro-step 1 only accumulates (params and EMA hold),
+    micro-step 2 applies the averaged update (Lightning
+    accumulate_grad_batches semantics, reference main.py:692-696)."""
+    tr = LDMTrainer(img_size=IMG, batch_size=2, timesteps=20,
+                    module=tiny_module(), scale_by_std=False, accumulate=2)
+    state = tr.init_state()
+    p0 = np.asarray(state.params["model"]["input_0_0"]["kernel"]).copy()
+    ema0 = np.asarray(state.ema_params["model"]["input_0_0"]["kernel"]).copy()
+
+    state, _ = tr.train_step(state, batch, jax.random.PRNGKey(0))
+    p1 = np.asarray(state.params["model"]["input_0_0"]["kernel"])
+    ema1 = np.asarray(state.ema_params["model"]["input_0_0"]["kernel"])
+    np.testing.assert_array_equal(p1, p0)   # accumulated, not applied
+    np.testing.assert_array_equal(ema1, ema0)
+
+    state, _ = tr.train_step(state, batch, jax.random.PRNGKey(1))
+    p2 = np.asarray(state.params["model"]["input_0_0"]["kernel"])
+    ema2 = np.asarray(state.ema_params["model"]["input_0_0"]["kernel"])
+    assert np.abs(p2 - p0).max() > 0        # applied on the k-th micro-step
+    assert np.abs(ema2 - ema0).max() > 0
+    assert int(state.step) == 2
+
+
 def test_topk_checkpointer(tmp_path):
     from slice3d_tpu.train.checkpoint import TopKCheckpointer
 
@@ -139,3 +164,23 @@ def test_topk_checkpointer(tmp_path):
     assert len(kept) == 2
     assert any("step=000004" in k for k in kept)
     assert any("step=000001" in k for k in kept)
+
+
+def test_topk_checkpointer_seeds_from_disk(tmp_path):
+    """A fresh process seeds its best-list from existing checkpoint files,
+    so resumed runs keep pruning past save_top_k (ADVICE r2)."""
+    from slice3d_tpu.train.checkpoint import TopKCheckpointer
+
+    ck = TopKCheckpointer(str(tmp_path), monitor="val/loss_simple_ema", k=2)
+    ck.update(1.0, 1, {"step": 1})
+    ck.update(2.0, 2, {"step": 2})
+
+    # simulate restart
+    ck2 = TopKCheckpointer(str(tmp_path), monitor="val/loss_simple_ema", k=2)
+    assert len(ck2.best) == 2
+    assert ck2.update(3.0, 3, {"step": 3}) is None  # still pruned vs disk
+    assert ck2.update(0.5, 4, {"step": 4}) is not None
+    import os
+
+    kept = sorted(os.listdir(tmp_path))
+    assert len(kept) == 2

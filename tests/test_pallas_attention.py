@@ -41,6 +41,30 @@ def test_spatial_attention_uneven_head_dim_and_block():
     )
 
 
+def test_spatial_attention_grad_matches_einsum():
+    # reverse-mode AD through the kernel (custom_vjp): LDM training
+    # differentiates through AttentionBlock at t=4096 (ADVICE r2 high)
+    b, h, t, dh = 1, 2, 1024, 24
+    rng = np.random.default_rng(2)
+    q, k, v = (jnp.asarray(rng.normal(size=(b, h, t, dh)).astype(np.float32))
+               for _ in range(3))
+    scale = 1.0 / math.sqrt(dh)
+    tgt = jnp.asarray(rng.normal(size=(b, h, t, dh)).astype(np.float32))
+
+    def loss_kernel(q, k, v):
+        return jnp.sum((spatial_attention(q, k, v, scale, interpret=True)
+                        - tgt) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum((_reference(q, k, v, scale) - tgt) ** 2)
+
+    g_kernel = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gk, gr in zip(g_kernel, g_ref):
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                                   atol=3e-4, rtol=1e-4)
+
+
 def test_eligibility_gate():
     # short sequences stay on the XLA path; eligibility is shape-only
     assert not attention_kernel_eligible(256)

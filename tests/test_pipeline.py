@@ -58,6 +58,54 @@ def test_reconstruct_all_pipelined_matches_single(recon):
             np.testing.assert_allclose(mesh.vertices, ref_mesh.vertices, atol=1e-5)
 
 
+def test_reconstruct_batched_matches_single(recon):
+    """batch_size > 1 pools objects per dispatch; results must be
+    identical to the serial path (same indices, same values)."""
+    model, variables = recon.model, recon.variables
+    batched = Reconstructor(
+        model, variables, resolution0=8, upsampling_steps=1,
+        chunk_size=1024, batch_size=4,
+    )
+    feeds = [make_feed(i) for i in range(6)]  # 4 + tail of 2 (padded)
+    singles = [recon.reconstruct(f) for f in feeds]
+
+    results = {}
+    batched.reconstruct_all(
+        iter(feeds), lambda j, mesh, st: results.__setitem__(j, (mesh, st)))
+    assert sorted(results) == list(range(6))
+    for j, (mesh, st) in results.items():
+        ref_mesh, ref_st = singles[j]
+        assert st["n_points_evaluated"] == ref_st["n_points_evaluated"]
+        assert len(mesh.vertices) == len(ref_mesh.vertices)
+        if len(mesh.vertices):
+            np.testing.assert_allclose(
+                mesh.vertices, ref_mesh.vertices, atol=1e-5)
+
+
+def test_reconstruct_batch_sharded_over_mesh(recon):
+    """The object batch shards over the mesh's data axis (multi-device
+    inference, SURVEY §2.5); values must match the unsharded path."""
+    from slice3d_tpu.parallel import create_mesh
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs multiple (virtual) devices")
+    mesh = create_mesh((n_dev, 1))
+    model, variables = recon.model, recon.variables
+    sharded = Reconstructor(
+        model, variables, resolution0=8, upsampling_steps=1,
+        chunk_size=1024, batch_size=n_dev, mesh=mesh,
+    )
+    feeds = [make_feed(i) for i in range(n_dev)]
+    out = sharded.reconstruct_batch(feeds)
+    for (mesh_s, _), feed in zip(out, feeds):
+        ref_mesh, _ = recon.reconstruct(feed)
+        assert len(mesh_s.vertices) == len(ref_mesh.vertices)
+        if len(mesh_s.vertices):
+            np.testing.assert_allclose(
+                mesh_s.vertices, ref_mesh.vertices, atol=1e-5)
+
+
 def test_reconstruct_with_refinement(recon):
     """refine_steps polishes vertices through the model's xyz query path."""
     feed = make_feed(2)
