@@ -88,6 +88,9 @@ class Slice3DDataset:
     load_sdf: bool = True
     load_full_projection: bool = False  # 'trans_mat_right' for DISN
     categories: Sequence[str] = ("",)
+    # emit raw uint8 RGBA under *_raw keys; compositing/resize/normalize
+    # then run on device (data.device_transforms.DeviceTransformLoader)
+    device_preprocess: bool = False
 
     def __post_init__(self):
         self.files: List[Tuple[str, str]] = []
@@ -162,16 +165,31 @@ class Slice3DDataset:
 
     # -- sample assembly ---------------------------------------------------
 
+    def load_raw_rgba(self, path: str) -> np.ndarray:
+        """(H, W, 4) uint8 for the device-side preprocess path."""
+        arr = np.asarray(load_image(path))
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3 + [np.full_like(arr, 255)], axis=-1)
+        if arr.shape[-1] == 3:
+            arr = np.concatenate(
+                [arr, np.full_like(arr[..., :1], 255)], axis=-1)
+        return np.ascontiguousarray(arr, np.uint8)
+
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         category, shape_id = self.files[index]
         view = self.view_index()
 
         obj_rot, trans_tp, scale, offset = self.load_camera(shape_id, view)
         feed: Dict[str, np.ndarray] = {
-            "img_input": self.load_input_view(shape_id, view).astype(np.float32),
             "obj_rot_mat": obj_rot,
             "trans_mat_wo_rot_tp": trans_tp,
         }
+        if self.device_preprocess:
+            feed["img_input_raw"] = self.load_raw_rgba(os.path.join(
+                self.dir_img_input, shape_id, "%03d.png" % view))
+        else:
+            feed["img_input"] = self.load_input_view(
+                shape_id, view).astype(np.float32)
         if self.load_full_projection:
             import pickle as _pickle
 
@@ -181,7 +199,15 @@ class Slice3DDataset:
                 meta[1][view], meta[2][view], meta[3][view]
             ).astype(np.float32)
         if self.load_slices:
-            feed["img_slices"] = self.load_slice_images(shape_id, view).astype(np.float32)
+            if self.device_preprocess and self.from_which_slices == "gt":
+                vdir = os.path.join(self.dir_img_slices, shape_id,
+                                    "%03d" % view)
+                feed["img_slices_raw"] = np.stack([
+                    self.load_raw_rgba(os.path.join(vdir, f"{a}_{p}.png"))
+                    for a, p in SLICE_ORDER])
+            else:
+                feed["img_slices"] = self.load_slice_images(
+                    shape_id, view).astype(np.float32)
         if self.load_sdf:
             pts, vals = self.load_sdf_samples(shape_id, scale, offset)
             if self.split == "train":

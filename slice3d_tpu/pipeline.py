@@ -285,8 +285,14 @@ class Reconstructor:
 
         return evaluator, dense_vals, logit_fn_for
 
-    def _maybe_refine(self, mesh: Mesh, logit_fn, stats: Dict) -> Mesh:
-        """Optional refine_mesh polish (reference reconstruct.py:271-332)."""
+    def _maybe_refine(self, mesh: Mesh, logit_fn_thunk, stats: Dict) -> Mesh:
+        """Optional refine_mesh polish (reference reconstruct.py:271-332).
+
+        ``logit_fn_thunk`` is only invoked when refinement runs — building
+        the per-object logit closure slices device arrays (a dozen small
+        dispatches), which would otherwise tax every non-refined object on
+        a tunneled chip.
+        """
         if not self.refine_steps or mesh.is_empty:
             return mesh
         import time
@@ -295,7 +301,7 @@ class Reconstructor:
 
         t0 = time.perf_counter()
         verts, _ = refine_mesh(
-            mesh.vertices, mesh.faces, logit_fn,
+            mesh.vertices, mesh.faces, logit_fn_thunk(),
             steps=self.refine_steps, threshold=self.generator.threshold,
         )
         stats["time_refine"] = time.perf_counter() - t0
@@ -320,21 +326,25 @@ class Reconstructor:
 
     def reconstruct(self, feed: Dict[str, np.ndarray]) -> Tuple[Mesh, Dict]:
         """feed: one dataset sample (unbatched numpy dict)."""
+        from functools import partial
+
         grids, logit_fn_for, stats_list = self._build_grids([feed])
         stats = stats_list[0]
         mesh = self._march_one(grids[0], stats)
-        return self._maybe_refine(mesh, logit_fn_for(0), stats), stats
+        return self._maybe_refine(mesh, partial(logit_fn_for, 0), stats), stats
 
     def reconstruct_batch(
         self, feeds: Sequence[Dict[str, np.ndarray]]
     ) -> List[Tuple[Mesh, Dict]]:
         """Reconstruct up to ``batch_size`` objects in batched dispatches."""
+        from functools import partial
+
         grids, logit_fn_for, stats_list = self._build_grids(list(feeds))
         out = []
         for b, (grid, stats) in enumerate(zip(grids, stats_list)):
             mesh = self._march_one(grid, stats)
-            out.append((self._maybe_refine(mesh, logit_fn_for(b), stats),
-                        stats))
+            out.append((self._maybe_refine(mesh, partial(logit_fn_for, b),
+                                           stats), stats))
         return out
 
     def reconstruct_all(self, feeds, on_result) -> None:
@@ -367,12 +377,14 @@ class Reconstructor:
             pending = None  # (base_idx, n_real, futures, logit_fn_for, stats)
 
             def finish(base, n_real, futs, logit_fn_for, stats_list):
+                from functools import partial
+
                 for j in range(n_real):
                     mesh = futs[j].result()
                     # refinement dispatches device programs: keep it on the
                     # main thread (single compile stream) — marching stays
                     # overlapped
-                    mesh = self._maybe_refine(mesh, logit_fn_for(j),
+                    mesh = self._maybe_refine(mesh, partial(logit_fn_for, j),
                                               stats_list[j])
                     on_result(base + j, mesh, stats_list[j])
 

@@ -71,3 +71,32 @@ def test_obj_roundtrip(tmp_path):
     back = load_obj(path)
     np.testing.assert_allclose(back.vertices, mesh.vertices, atol=1e-5)
     np.testing.assert_array_equal(back.faces, mesh.faces)
+
+
+def test_icp_recovers_rigid_transform():
+    """ICP (eval/icp.py, role of src_convonet/utils/icp.py) recovers a
+    known rotation+translation between samplings of the same cloud."""
+    from slice3d_tpu.eval.icp import best_fit_transform, icp
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-0.5, 0.5, size=(500, 3))
+    ang = 0.15
+    r_true = np.array([
+        [np.cos(ang), -np.sin(ang), 0.0],
+        [np.sin(ang), np.cos(ang), 0.0],
+        [0.0, 0.0, 1.0],
+    ])
+    t_true = np.array([0.04, -0.02, 0.03])
+    dst = pts @ r_true.T + t_true
+
+    # exact correspondences -> closed form is exact
+    tm, r, t = best_fit_transform(pts, dst)
+    np.testing.assert_allclose(r, r_true, atol=1e-10)
+    np.testing.assert_allclose(t, t_true, atol=1e-10)
+
+    # ICP from unknown correspondences (shuffled target)
+    tm, dists, its = icp(pts, dst[rng.permutation(len(dst))],
+                         max_iterations=30)
+    aligned = pts @ tm[:3, :3].T + tm[:3, 3]
+    assert float(np.abs(aligned - dst).max()) < 1e-4
+    assert float(dists.mean()) < 1e-4
