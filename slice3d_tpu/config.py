@@ -71,6 +71,9 @@ class Options:
     overwrite_res: bool = False
     # TPU-specific
     dtype: str = "bfloat16"  # compute dtype on device: bfloat16 | float32
+    # ship raw uint8 RGBA and composite/resize/normalize on device
+    # (3x less host->device traffic; data/device_transforms.py)
+    device_preprocess: bool = False
     vgg19_ckpt: str = ""  # torch vgg19 weights for the perceptual loss
     random_init: bool = False  # run with random weights (benchmarks/smoke)
     dir_experiments: str = "experiments"

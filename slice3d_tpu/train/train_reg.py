@@ -256,20 +256,28 @@ def train(opts: Options, *, max_steps: Optional[int] = None) -> None:
         writer = None
 
     load_slices = True
-    train_ds = Slice3DDataset(
-        opts.dataset_root, split="train", img_size=opts.img_size,
-        n_qry=opts.n_qry, n_views=opts.n_views, use_white_bg=opts.use_white_bg,
+    # device_preprocess only covers GT slice PNGs (gen/rec slices are
+    # pre-composited RGB on disk)
+    dev_pre = opts.device_preprocess and (
+        opts.name_model != "gtslice" or opts.from_which_slices == "gt")
+    common_ds = dict(
+        img_size=opts.img_size, n_qry=opts.n_qry, n_views=opts.n_views,
+        use_white_bg=opts.use_white_bg,
         from_which_slices=opts.from_which_slices if opts.name_model == "gtslice" else "gt",
         load_slices=load_slices, categories=opts.categories,
+        device_preprocess=dev_pre,
     )
-    val_ds = Slice3DDataset(
-        opts.dataset_root, split="val", img_size=opts.img_size,
-        n_qry=opts.n_qry, n_views=opts.n_views, use_white_bg=opts.use_white_bg,
-        from_which_slices=opts.from_which_slices if opts.name_model == "gtslice" else "gt",
-        load_slices=load_slices, categories=opts.categories,
-    )
+    train_ds = Slice3DDataset(opts.dataset_root, split="train", **common_ds)
+    val_ds = Slice3DDataset(opts.dataset_root, split="val", **common_ds)
     train_loader = BatchLoader(train_ds, opts.n_bs, shuffle=True, num_workers=opts.n_wk)
     val_loader = BatchLoader(val_ds, opts.n_bs, shuffle=False, num_workers=opts.n_wk)
+    if dev_pre:
+        from ..data.device_transforms import DeviceTransformLoader
+
+        train_loader = DeviceTransformLoader(
+            train_loader, opts.img_size, opts.use_white_bg)
+        val_loader = DeviceTransformLoader(
+            val_loader, opts.img_size, opts.use_white_bg)
 
     # Frozen VGG19 weights enable the reference's perceptual loss term;
     # without them training runs the remaining two loss terms.

@@ -70,3 +70,23 @@ def test_gtslice_checkpoint_roundtrip(tmp_path):
         np.asarray(restored.params["head"]["fc_out"]["kernel"]),
         np.asarray(state.params["head"]["fc_out"]["kernel"]),
     )
+
+
+def test_train_e2e_device_preprocess(tmp_path):
+    """Two train() steps through the device-preprocess loader (raw uint8
+    upload + on-device composite/resize/normalize)."""
+    from slice3d_tpu.data.builders import create_synthetic_dataset
+    from slice3d_tpu.train.train_reg import train
+
+    root = create_synthetic_dataset(
+        str(tmp_path / "data" / "objaverse"), n_shapes=2, n_views=6,
+        img_size=32, n_sdf=64)
+    opts = Options(
+        name_model="gtslice", img_size=32, n_qry=16, n_bs=2, n_views=6,
+        n_epochs=1, freq_log=1, freq_ckpt=1,
+        dir_data=str(tmp_path / "data"), name_dataset="objaverse",
+        dir_experiments=str(tmp_path / "exp"), name_exp="devpre",
+        device_preprocess=True,
+    )
+    train(opts, max_steps=2)
+    assert (tmp_path / "exp" / "devpre" / "opts.txt").exists()
