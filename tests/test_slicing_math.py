@@ -127,3 +127,22 @@ def test_normalization_params():
     # recentered + offset_rand
     np.testing.assert_allclose((new_min + new_max) / 2, offset_rand,
                                atol=1e-12)
+
+
+def test_consistent_with_dataset_camera_chain():
+    """The Blender camera world matrix (used by the renderers) and the
+    golden-tested dataset projection chain (slice3d_tpu.camera.blender_rt,
+    reference src/utils.py:29-73) describe the SAME camera: their
+    rotations differ exactly by the documented y/z flip diag(1,-1,-1)
+    (camera.py _CAM_FIX), and translations map consistently."""
+    from slice3d_tpu import camera as cam
+
+    flip = np.diag([1.0, -1.0, -1.0])
+    for az_meta, el, dist in [(0.3, 0.2, 1.2), (2.1, -0.1, 1.5),
+                              (5.9, 0.6, 1.2)]:
+        rt = cam.blender_rt(-az_meta, el, dist)  # dataset negates azimuth
+        m_inv = np.linalg.inv(camera_world_matrix(az_meta, el, dist))
+        np.testing.assert_allclose(rt[:, :3], flip @ m_inv[:3, :3],
+                                   atol=1e-12)
+        np.testing.assert_allclose(rt[:, 3], flip @ m_inv[:3, 3],
+                                   atol=1e-12)
