@@ -65,6 +65,7 @@ class Reconstructor:
         batch_size: int = 1,
         mesh=None,
         extract_method: str = "surface_nets",
+        transport_dtype: str = "float16",
     ):
         self.model = model
         self.simplify_nfaces = simplify_nfaces
@@ -153,11 +154,18 @@ class Reconstructor:
         query_pts_fast = make_query_pts(model)       # fused hot path
         query_pts_diff = make_query_pts(model_diff)  # autodiff-safe (refine)
 
+        # Values cross the (slow, tunneled) wire once per level: ship them
+        # at reduced precision — the model computes in bfloat16 anyway, so
+        # float16 transport only quantizes fp32 head noise (~1e-3 of a
+        # lattice cell on crossing positions).
+        wire_dtype = jnp.dtype(transport_dtype)
+
         def query_row(variables, encoded, idx, res, extras):
             # one fixed-size chunk of flat lattice indices -> values;
             # idx (B, c) -> (B, c)
-            return query_pts_fast(variables, encoded, lattice_pts(idx, res),
+            vals = query_pts_fast(variables, encoded, lattice_pts(idx, res),
                                   *extras)
+            return vals.astype(wire_dtype)
 
         # One device dispatch per refinement level: lax.scan over (k, B, c)
         # index chunks.  On a tunneled chip each dispatch is ~100 ms of RPC

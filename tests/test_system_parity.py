@@ -76,7 +76,7 @@ def test_dense_grid_parity(twin):
     model = GTSliceModel(n_slices=N_SLICES)
     recon = Reconstructor(model, variables, resolution0=RES0,
                           upsampling_steps=0, threshold=THRESHOLD,
-                          chunk_size=1024)
+                          chunk_size=1024, transport_dtype="float32")
     feed = {"img_slices": slices, "trans_mat_wo_rot_tp": proj}
     grid, _, _ = recon._build_grid(feed)
 
@@ -100,7 +100,7 @@ def test_mesh_parity_refined(twin):
     model = GTSliceModel(n_slices=N_SLICES)
     recon = Reconstructor(model, variables, resolution0=RES0,
                           upsampling_steps=1, threshold=THRESHOLD,
-                          chunk_size=1024,
+                          chunk_size=1024, transport_dtype="float32",
                           extract_method="tetrahedra")
     feed = {"img_slices": slices, "trans_mat_wo_rot_tp": proj}
     grid, _, _ = recon._build_grid(feed)
