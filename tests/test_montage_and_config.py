@@ -69,3 +69,29 @@ def test_main_config_parsing():
     assert module.unet_channels == 192
     assert module.latent_size == 16
     assert module.vae_mult == (1, 2, 4, 4)
+
+
+def test_reconstruct_slices_cli(tmp_path):
+    """Slice-dump CLI end-to-end (reference reconstruct_slices.py):
+    12 PNGs per shape in dataset naming at 256^2."""
+    import os
+
+    from slice3d_tpu.data.builders import create_synthetic_dataset
+
+    root_parent = tmp_path / "data"
+    create_synthetic_dataset(str(root_parent / "objaverse"), n_shapes=1,
+                             n_views=6, img_size=32, n_sdf=64)
+    import reconstruct_slices
+
+    reconstruct_slices.main([
+        "--name_dataset", "objaverse", "--dir_data", str(root_parent),
+        "--img_size", "32", "--n_views", "6", "--random_init",
+        "--dir_experiments", str(tmp_path / "exp"), "--name_exp", "sdump",
+    ])
+    out = tmp_path / "exp" / "sdump" / "results_slices" / "objaverse" / "00000"
+    files = sorted(os.listdir(out))
+    assert len(files) == 12
+    from PIL import Image
+
+    im = Image.open(out / "X_1.png")
+    assert im.size == (256, 256)

@@ -122,3 +122,41 @@ def test_reconstruct_with_refinement(recon):
     assert np.isfinite(mesh.vertices).all()
     # vertices actually moved
     assert np.abs(mesh.vertices - base_mesh.vertices).max() > 0
+
+
+def test_disn_batched_matches_single():
+    """The DISN branch of the batched pipeline (full-projection extras +
+    object rotation) matches its serial path."""
+    from slice3d_tpu.models.disn import DISNModel
+
+    model = DISNModel()
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    rot, _ = camera.camera_matrices(0.2, 0.1, 1.2)
+    proj_full = camera.full_projection_matrix(0.2, 0.1, 1.2).astype(np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), img, jnp.zeros((1, 8, 3), jnp.float32),
+        jnp.asarray(proj_full[None]), jnp.asarray(rot[None].astype(np.float32)),
+    )
+
+    def feed(seed):
+        r = np.random.default_rng(seed)
+        return {
+            "img_input": r.normal(size=(32, 32, 3)).astype(np.float32),
+            "trans_mat_right": proj_full,
+            "obj_rot_mat": rot.astype(np.float32),
+        }
+
+    single = Reconstructor(model, variables, resolution0=8,
+                           upsampling_steps=1, chunk_size=512)
+    batched = Reconstructor(model, variables, resolution0=8,
+                            upsampling_steps=1, chunk_size=512, batch_size=2)
+    feeds = [feed(1), feed(2)]
+    singles = [single.reconstruct(f) for f in feeds]
+    for (mesh_b, st_b), (mesh_s, st_s) in zip(
+            batched.reconstruct_batch(feeds), singles):
+        assert st_b["n_points_evaluated"] == st_s["n_points_evaluated"]
+        assert len(mesh_b.vertices) == len(mesh_s.vertices)
+        if len(mesh_b.vertices):
+            np.testing.assert_allclose(mesh_b.vertices, mesh_s.vertices,
+                                       atol=1e-5)
