@@ -381,6 +381,12 @@ class Reconstructor:
             if buf:
                 yield buf
 
+        def padded(group):
+            if len(group) < b:
+                # pad the tail batch (compiled shapes stay fixed)
+                return group + [group[-1]] * (b - len(group))
+            return group
+
         with ThreadPoolExecutor(n_workers) as pool:
             pending = None  # (base_idx, n_real, futures, logit_fn_for, stats)
 
@@ -397,18 +403,26 @@ class Reconstructor:
                     on_result(base + j, mesh, stats_list[j])
 
             base_idx = 0
-            for group in batches():
-                n_real = len(group)
-                if n_real < b:
-                    # pad the tail batch (compiled shapes stay fixed)
-                    group = group + [group[-1]] * (b - n_real)
-                grids, logit_fn_for, stats_list = self._build_grids(group)
+            it = batches()
+            cur = next(it, None)
+            # encode dispatch is async: enqueue the NEXT batch's encode
+            # before syncing the current batch's levels so the device
+            # stays busy through the host-side mask/marching stages
+            cur_cond = self._conditioned_fns(padded(cur)) if cur else None
+            while cur is not None:
+                nxt = next(it, None)
+                nxt_cond = (self._conditioned_fns(padded(nxt))
+                            if nxt is not None else None)
+                n_real = len(cur)
+                grids, logit_fn_for, stats_list = self._build_grids_from(
+                    cur_cond, n_feeds=b)
                 futs = [pool.submit(self._march_one, grids[j], stats_list[j])
                         for j in range(n_real)]
                 if pending is not None:
                     finish(*pending)
                 pending = (base_idx, n_real, futs, logit_fn_for, stats_list)
                 base_idx += n_real
+                cur, cur_cond = nxt, nxt_cond
             if pending is not None:
                 finish(*pending)
 
@@ -417,11 +431,18 @@ class Reconstructor:
 
         Returns (grids, logit_fn_for, stats_list).
         """
+        return self._build_grids_from(self._conditioned_fns(feeds),
+                                      n_feeds=len(feeds))
+
+    def _build_grids_from(self, cond, *, n_feeds: int):
+        """Grid build from already-dispatched conditioning (see
+        ``_conditioned_fns``); lets callers prefetch the next batch's
+        encode before this batch's levels sync."""
         import time
 
         from .mesh.extract import GridRefiner
 
-        evaluator, dense_vals, logit_fn_for = self._conditioned_fns(feeds)
+        evaluator, dense_vals, logit_fn_for = cond
         g = self.generator
         logit_thr = float(np.log(g.threshold) - np.log(1.0 - g.threshold))
         refiner = GridRefiner(
@@ -429,7 +450,7 @@ class Reconstructor:
             threshold=logit_thr, box_size=g.box_size, chunk_size=g.chunk_size,
             dilate=g.dilate,
         )
-        stats_list = [dict() for _ in feeds]
+        stats_list = [dict() for _ in range(n_feeds)]
         t0 = time.perf_counter()
         grids = refiner.build_batch(evaluator, dense_vals, stats_list)
         dt = time.perf_counter() - t0
