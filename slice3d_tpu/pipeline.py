@@ -213,13 +213,22 @@ class Reconstructor:
         self._is_disn = is_disn
 
     def _pad_chunks(self, idx_b: np.ndarray) -> np.ndarray:
-        """(B, m) flat lattice indices -> (k, B, c) chunk grid, k a power
-        of 2 (bounds jit re-specialization)."""
+        """(B, m) flat lattice indices -> (k, B, c) chunk grid.
+
+        k is rounded up to a power of 2 OR 1.5x a power of 2 (1, 2, 3, 4,
+        6, 8, 12, ...): still a bounded set of compiled specializations,
+        but worst-case slot waste drops from ~100% to ~33% — at 256^3 the
+        refined level's real point count routinely lands just past a power
+        of 2.
+        """
         b, m = idx_b.shape
         c = self.chunk_size
         k = max(-(-m // c), 1)
         k_pad = 1
         while k_pad < k:
+            if k <= k_pad + k_pad // 2:
+                k_pad += k_pad // 2
+                break
             k_pad *= 2
         padded = np.zeros((b, k_pad * c), np.int32)
         padded[:, :m] = idx_b
