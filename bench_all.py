@@ -102,8 +102,10 @@ def config1():
 
 def _objects_per_min(recon, feeds):
     done = []
-    b = recon.batch_size
-    recon.reconstruct_all(iter(feeds[:b]), lambda *a: None)  # compile
+    # warm over the FULL feed set: each batch's refined point count can
+    # hit a different chunk-count specialization, and a compile inside
+    # the timed pass would pollute the steady-state number
+    recon.reconstruct_all(iter(feeds), lambda *a: None)
     t0 = time.perf_counter()
     recon.reconstruct_all(iter(feeds), lambda j, m, s: done.append(j))
     dt = time.perf_counter() - t0
