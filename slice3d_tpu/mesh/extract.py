@@ -174,9 +174,11 @@ class GridRefiner:
         """Batched coarse-to-fine: B grids, ONE device dispatch per level.
 
         Args:
-          evaluator: ``(idx (B, m) int32, res) -> (B, >=m)`` values —
-            evaluates every object of the batch at its own index list in a
-            single dispatch (per-object lists padded to a common length).
+          evaluator: ``(idxs, res) -> list of values`` — takes the B
+            per-object flat int32 index lists of a refinement level and
+            returns B value arrays (each >= its list's length; sliced
+            here).  The evaluator owns the device chunk layout (sequential
+            per-object scan or cross-object padding — see Reconstructor).
           dense_vals: (B, >=(res0+1)^3) precomputed coarse-lattice values
             (from the fused encode+dense dispatch).
           stats_list: B dicts; per-object ``n_points_evaluated`` and
@@ -213,16 +215,14 @@ class GridRefiner:
                 grids = [r[0] for r in results]
                 idxs = [r[1] for r in results]
                 res *= 2
-                m_max = max((len(i) for i in idxs), default=0)
-                if m_max == 0:
+                if all(len(ix) == 0 for ix in idxs):
                     continue
-                idx_b = np.zeros((b, m_max), np.int32)
-                for i, idx in enumerate(idxs):
-                    idx_b[i, :len(idx)] = idx
-                vals = np.asarray(evaluator(idx_b, res), np.float32)
-                for i, idx in enumerate(idxs):
-                    grids[i].reshape(-1)[idx] = vals[i, :len(idx)]
-                    n_eval[i] += len(idx)
+                vals_list = evaluator(idxs, res)
+                for i, ix in enumerate(idxs):
+                    if len(ix):
+                        grids[i].reshape(-1)[ix] = np.asarray(
+                            vals_list[i][:len(ix)], np.float32)
+                        n_eval[i] += len(ix)
 
         for i, st in enumerate(stats_list):
             st["n_points_evaluated"] = n_eval[i]

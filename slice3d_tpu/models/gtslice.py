@@ -78,11 +78,13 @@ class GTSliceModel(nn.Module):
         folded = self.head.fold_pyramids(self.encode(img_slices))
         return pack_planes(folded, self.n_slices)
 
-    def query_folded(self, packed, qry, trans_mat_tp) -> jnp.ndarray:
+    def query_folded(self, packed, qry, trans_mat_tp, obj_index=None) -> jnp.ndarray:
         """Fast query over folded packed planes — exact, far less gather
-        traffic than the training path."""
+        traffic than the training path.  ``obj_index`` (b,) optionally maps
+        each query row to a plane set (sequential batched pipeline)."""
         uv = project_points(qry, trans_mat_tp)
-        sampled = sample_packed_sum(packed, uv, self.n_slices)
+        sampled = sample_packed_sum(packed, uv, self.n_slices,
+                                    obj_index=obj_index)
         return self.head.from_folded(qry, sampled)
 
     def __call__(

@@ -151,6 +151,15 @@ class Reconstructor:
 
                 return query_pts
 
+        if not is_disn:
+            # variant that also threads the plane-set selector through
+            # query_folded (sequential batched layout, see query_seq)
+            def query_pts_at(variables, packed, pts, trans_tp, obj_index):
+                qry = pts * jnp.array([1.0, -1.0, -1.0], dtype=pts.dtype)
+                sdf = model.apply(variables, packed, qry, trans_tp,
+                                  obj_index, method=model.query_folded)
+                return -sdf
+
         query_pts_fast = make_query_pts(model)       # fused hot path
         query_pts_diff = make_query_pts(model_diff)  # autodiff-safe (refine)
 
@@ -181,6 +190,39 @@ class Reconstructor:
             b = idx3d.shape[1]
             return jnp.transpose(vals, (1, 0, 2)).reshape(b, -1)
 
+        # Sequential batched layout (single device, slicenet/gtslice): the
+        # scan walks per-OBJECT chunks — xs is (idx (c,), obj_id ()) — so
+        # each step's gathers touch only one object's planes.  Measured at
+        # B=8/256^3: interleaving all objects into every step (the (k, B,
+        # c) layout above) drops per-point throughput from ~1.05 to ~0.69
+        # M pts/s on v5e purely from the 8x gather working set; this
+        # layout keeps the single-object locality AND the one-dispatch-
+        # per-level wire profile.
+        if not is_disn:
+
+            def query_row_seq(variables, encoded, idx, oid, res, extras):
+                pts = lattice_pts(idx, res)[None]  # (1, c, 3)
+                extras_b = tuple(
+                    jax.lax.dynamic_index_in_dim(e, oid, 0, keepdims=True)
+                    for e in extras)
+                vals = query_pts_at(variables, encoded, pts, *extras_b,
+                                    obj_index=jnp.reshape(oid, (1,)))
+                return vals[0].astype(wire_dtype)
+
+            @jax.jit
+            def query_seq(variables, encoded, idx2d, oids, res, *extras):
+                def body(carry, xs):
+                    idx, oid = xs
+                    return carry, query_row_seq(variables, encoded, idx, oid,
+                                                res, extras)
+
+                _, vals = jax.lax.scan(body, 0, (idx2d, oids))  # (k, c)
+                return vals.reshape(-1)
+
+            self._query_seq = query_seq
+        else:
+            self._query_seq = None
+
         # Fused encode + dense coarse level: a single dispatch computes the
         # feature pyramids AND the full (res0+1)^3 coarse lattice for every
         # object in the batch (indices are a device-side arange — only the
@@ -189,6 +231,8 @@ class Reconstructor:
         c = int(chunk_size)
         k0 = -(-((n0 + 1) ** 3) // c)
         idx0 = jnp.arange(k0 * c, dtype=jnp.int32).reshape(k0, c)
+        use_seq = (mesh is None) and not is_disn
+        self._use_seq = use_seq
 
         @jax.jit
         def encode_dense(variables, imgs, *extras):
@@ -196,6 +240,18 @@ class Reconstructor:
             enc_q = encoded if is_disn else (
                 encoded[0] if is_slicenet else encoded)
             b = imgs.shape[0]
+
+            if use_seq:
+                idx_t = jnp.tile(idx0, (b, 1))  # (b*k0, c)
+                oids = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k0)
+
+                def body(carry, xs):
+                    idx, oid = xs
+                    return carry, query_row_seq(variables, enc_q, idx, oid,
+                                                jnp.int32(n0), extras)
+
+                _, vals = jax.lax.scan(body, 0, (idx_t, oids))  # (b*k0, c)
+                return encoded, vals.reshape(b, -1)
 
             def body(carry, idx):
                 idx_b = jnp.broadcast_to(idx[None], (b, idx.shape[0]))
@@ -223,17 +279,53 @@ class Reconstructor:
         """
         b, m = idx_b.shape
         c = self.chunk_size
-        k = max(-(-m // c), 1)
-        k_pad = 1
-        while k_pad < k:
-            if k <= k_pad + k_pad // 2:
-                k_pad += k_pad // 2
-                break
-            k_pad *= 2
+        k_pad = self._pad_k(max(-(-m // c), 1))
         padded = np.zeros((b, k_pad * c), np.int32)
         padded[:, :m] = idx_b
         return np.ascontiguousarray(
             padded.reshape(b, k_pad, c).transpose(1, 0, 2))
+
+    @staticmethod
+    def _pad_k(k: int) -> int:
+        """Round a chunk count up to the 1/1.5 x power-of-2 grid (1, 2, 3,
+        4, 6, 8, 12, ...): bounded compile specializations, <=33% waste."""
+        k_pad = 1
+        while k_pad < k:
+            if k <= k_pad + k_pad // 2:
+                return k_pad + k_pad // 2
+            k_pad *= 2
+        return k_pad
+
+    def _pad_chunks_seq(self, idxs: Sequence[np.ndarray]):
+        """Per-object index lists -> sequential chunk layout.
+
+        Returns (idx2d (k, c), oids (k,), spans) where spans[i] = (flat
+        value offset, length) of object i in the scan output, or ``None``
+        if every list is empty.  Each object is padded only to its own
+        chunk multiple — no cross-object m_max padding (the (k, B, c)
+        layout pads every object to the largest object's count).
+        """
+        c = self.chunk_size
+        ks = [-(-len(ix) // c) for ix in idxs]
+        k_tot = sum(ks)
+        if k_tot == 0:
+            return None
+        k_pad = self._pad_k(k_tot)
+        idx2d = np.zeros((k_pad, c), np.int32)
+        oids = np.zeros((k_pad,), np.int32)
+        spans = []
+        row = 0
+        for i, ix in enumerate(idxs):
+            if ks[i] == 0:
+                spans.append((0, 0))
+                continue
+            flat = np.zeros(ks[i] * c, np.int32)
+            flat[:len(ix)] = ix
+            idx2d[row:row + ks[i]] = flat.reshape(ks[i], c)
+            oids[row:row + ks[i]] = i
+            spans.append((row * c, len(ix)))
+            row += ks[i]
+        return idx2d, oids, spans
 
     # -- encoding ---------------------------------------------------------
 
@@ -272,23 +364,45 @@ class Reconstructor:
 
         The dense vals come from the fused encode+coarse dispatch; the
         evaluator covers each masked refinement level of ALL B objects in
-        one dispatch.  ``logit_fns[b]`` is the per-object differentiable
-        query used by refine_mesh.
+        one dispatch — ``evaluator(idxs, res)`` takes per-object flat index
+        lists and returns per-object value arrays.  ``logit_fns[b]`` is the
+        per-object differentiable query used by refine_mesh.
         """
         imgs, extras = self._stack_inputs(feeds)
         encoded, dense_vals = self._encode_dense(self.variables, imgs, *extras)
         enc_q = encoded if self._is_disn else (
             encoded[0] if self._is_slicenet else encoded)
 
-        def evaluator(idx_b: np.ndarray, res: int):
-            # idx_b (B, m) -> (B, >=m) padded device array (caller slices)
-            chunks = self._pad_chunks(idx_b)
-            if self.mesh is not None:
-                chunks = jax.device_put(chunks, self._sh_chunks)
-            return self._query_many(
-                self.variables, enc_q, jnp.asarray(chunks),
-                jnp.int32(res), *extras,
-            )
+        if self._use_seq:
+
+            def evaluator(idxs: Sequence[np.ndarray], res: int):
+                packed = self._pad_chunks_seq(idxs)
+                if packed is None:
+                    return [np.zeros((0,), np.float32) for _ in idxs]
+                idx2d, oids, spans = packed
+                vals = np.asarray(self._query_seq(
+                    self.variables, enc_q, jnp.asarray(idx2d),
+                    jnp.asarray(oids), jnp.int32(res), *extras,
+                ), np.float32)
+                return [vals[off:off + ln] for off, ln in spans]
+
+        else:
+
+            def evaluator(idxs: Sequence[np.ndarray], res: int):
+                m_max = max((len(ix) for ix in idxs), default=0)
+                if m_max == 0:
+                    return [np.zeros((0,), np.float32) for _ in idxs]
+                idx_b = np.zeros((len(idxs), m_max), np.int32)
+                for i, ix in enumerate(idxs):
+                    idx_b[i, :len(ix)] = ix
+                chunks = self._pad_chunks(idx_b)
+                if self.mesh is not None:
+                    chunks = jax.device_put(chunks, self._sh_chunks)
+                vals = np.asarray(self._query_many(
+                    self.variables, enc_q, jnp.asarray(chunks),
+                    jnp.int32(res), *extras,
+                ), np.float32)
+                return [vals[i, :len(ix)] for i, ix in enumerate(idxs)]
 
         def logit_fn_for(b: int):
             enc_b = jax.tree_util.tree_map(lambda x: x[b:b + 1], enc_q)

@@ -60,6 +60,26 @@ def test_project_points_matches_manual():
     assert out.min() >= -1.0 and out.max() <= 1.0
 
 
+def test_sample_packed_sum_batched_matches_per_object():
+    """The flat-batch gather (B folded into the row axis with per-object
+    offsets) must agree exactly with running each object alone — pins the
+    base-offset index math of the B>1 fast path."""
+    from slice3d_tpu.models.sdf_head import sample_packed_sum
+
+    b, m, s, d = 3, 29, 12, 8
+    packed = [
+        jnp.asarray(RNG.normal(size=(b, h, w, s * d)).astype(np.float32))
+        for (h, w) in ((9, 7), (5, 4))
+    ]
+    uv = jnp.asarray(RNG.uniform(-1.2, 1.2, size=(b, m, 2)).astype(np.float32))
+
+    batched = np.asarray(sample_packed_sum(packed, uv, s))
+    for i in range(b):
+        single = np.asarray(sample_packed_sum(
+            [p[i:i + 1] for p in packed], uv[i:i + 1], s))
+        np.testing.assert_allclose(batched[i], single[0], atol=1e-6)
+
+
 @pytest.mark.parametrize("shape_out", [(16, 16), (8, 8), (4, 4), (1, 1), (5, 9)])
 def test_resize_nearest_parity(shape_out):
     x = RNG.normal(size=(2, 13, 11, 3)).astype(np.float32)

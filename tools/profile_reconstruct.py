@@ -66,11 +66,12 @@ def main():
     evaluator, dense_vals, _ = recon._conditioned_fns([feed])
     level_ledger = []
 
-    def timed_evaluator(idx, res):
+    def timed_evaluator(idxs, res):
         t0 = time.perf_counter()
-        out = evaluator(idx, res)
-        np.asarray(out)  # sync
-        level_ledger.append({"res": int(res), "n_idx": int(idx.shape[1]),
+        out = evaluator(idxs, res)
+        [np.asarray(v) for v in out]  # sync
+        level_ledger.append({"res": int(res),
+                             "n_idx": int(sum(len(ix) for ix in idxs)),
                              "wall_s": round(time.perf_counter() - t0, 4)})
         return out
 
