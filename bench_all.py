@@ -130,7 +130,11 @@ def config3():
     n = int(ENV("BENCH3_OBJECTS", "32"))
     res0 = int(ENV("BENCH3_RES0", "64"))
     up = int(ENV("BENCH3_UP_STEPS", "2"))  # reference full-quality point
-    batch = int(ENV("BENCH3_BATCH", "8"))
+    # batch 1 default: at up=2 this host's single CPU core makes the
+    # native refine+march stage the bottleneck, and batch 1 maximizes
+    # host/device overlap (see BASELINE.md round-3 layout study); it also
+    # rides the fused-levels single-dispatch path
+    batch = int(ENV("BENCH3_BATCH", "1"))
     recon = _gtslice_recon(res0, up, int(ENV("BENCH_CHUNK", "8192")),
                            batch=batch)
     opm, dt = _objects_per_min(recon, _feeds(n, with_slices=True))

@@ -98,6 +98,74 @@ def _touched_lattice_mask(active: np.ndarray) -> np.ndarray:
     return mask
 
 
+# -- device-side (jnp) twins of the refinement-level math -------------------
+#
+# Exact ports of _active_cells / _touched_lattice_mask / _upsample2x for
+# running a whole refinement level ON the device (pipeline fused-levels
+# path: the level-l mask depends only on level-(l-1) values, which already
+# live on device — computing the mask there removes one host<->device round
+# trip per level, ~100 ms each on a tunneled chip).  Each op mirrors its
+# numpy twin's arithmetic order so host grid replay is bit-identical in
+# float32 (pinned by tests/test_extract.py::test_jnp_refine_twins).
+
+
+def active_cells_jnp(grid, threshold: float, dilate: int = 1):
+    """jnp twin of :func:`_active_cells` — (n, n, n) bool cell mask."""
+    import jax.numpy as jnp
+
+    corners = [grid[sx, sy, sz]
+               for sx in (slice(None, -1), slice(1, None))
+               for sy in (slice(None, -1), slice(1, None))
+               for sz in (slice(None, -1), slice(1, None))]
+    stacked = jnp.stack(corners)
+    act = ((jnp.min(stacked, 0) <= threshold)
+           & (jnp.max(stacked, 0) >= threshold))
+    for _ in range(dilate):
+        grown = act
+        grown = grown.at[:-1].set(grown[:-1] | act[1:])
+        grown = grown.at[1:].set(grown[1:] | act[:-1])
+        grown = grown.at[:, :-1].set(grown[:, :-1] | act[:, 1:])
+        grown = grown.at[:, 1:].set(grown[:, 1:] | act[:, :-1])
+        grown = grown.at[:, :, :-1].set(grown[:, :, :-1] | act[:, :, 1:])
+        grown = grown.at[:, :, 1:].set(grown[:, :, 1:] | act[:, :, :-1])
+        act = grown
+    return act
+
+
+def touched_lattice_mask_jnp(active):
+    """jnp twin of :func:`_touched_lattice_mask`."""
+    import jax.numpy as jnp
+
+    n = active.shape[0]
+    fine = jnp.repeat(jnp.repeat(jnp.repeat(active, 2, 0), 2, 1), 2, 2)
+    mask = jnp.zeros((2 * n + 1,) * 3, dtype=bool)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                mask = mask.at[dx:2 * n + dx, dy:2 * n + dy,
+                               dz:2 * n + dz].set(
+                    mask[dx:2 * n + dx, dy:2 * n + dy, dz:2 * n + dz] | fine)
+    return mask
+
+
+def upsample2x_jnp(grid):
+    """jnp twin of :func:`_upsample2x` (separable per-axis interleave with
+    the same averaging order, so f32 results are bit-identical)."""
+    import jax.numpy as jnp
+
+    def interleave(g, axis):
+        g = jnp.moveaxis(g, axis, 0)
+        pairs = 0.5 * (g[:-1] + g[1:])
+        body = jnp.stack([g[:-1], pairs], axis=1).reshape(
+            (2 * (g.shape[0] - 1),) + g.shape[1:])
+        out = jnp.concatenate([body, g[-1:]], axis=0)
+        return jnp.moveaxis(out, 0, axis)
+
+    for axis in range(3):
+        grid = interleave(grid, axis)
+    return grid
+
+
 @dataclass
 class GridRefiner:
     """Builds the dense value grid via coarse-to-fine masked evaluation."""

@@ -76,7 +76,11 @@ def sample_packed_sum(
     plane tensor — the single-chip batched pipeline walks objects
     sequentially so each step's gather working set stays one object's
     planes (per-point throughput measured ~1.5x the interleaved
-    all-objects-per-step layout at B=8).
+    all-objects-per-step layout at B=8).  The selection is a plane-axis
+    take feeding the same take_along_axis row gather as the default path
+    — a flat-index variant (batch folded into the gather row axis with
+    per-object offsets) measured 1.5x SLOWER at B=1 on v5e, the headline
+    operating point, and was reverted.
     """
     b, m, _ = uv.shape
     x = uv[..., 0].astype(jnp.float32)
@@ -84,18 +88,12 @@ def sample_packed_sum(
 
     total = None
     for plane in packed:
-        bt, h, w, sd = plane.shape
-        # Batch is folded into the gather's ROW axis: a 2-D operand
-        # (B*h*w, sd) with globally-offset flat indices lowers to the same
-        # fused single-kernel gather XLA emits for B=1.  The 3-D batched
-        # form take_along_axis((B, h*w, sd), (B, M, 1)) instead forces
-        # layout copies of every corner's (B, M, sd) result at B>1
-        # (768 MB HLO temps per corner at B=8, c=32k).
-        rows_all = plane.reshape(bt * h * w, sd)
-        if obj_index is None:
-            base = (jnp.arange(b, dtype=jnp.int32) * (h * w))[:, None]
-        else:
-            base = (obj_index.astype(jnp.int32) * (h * w))[:, None]
+        _, h, w, sd = plane.shape
+        if obj_index is not None:
+            # row i of uv samples plane set obj_index[i]; at the b == 1
+            # scan step this is a dynamic slice fused into the gather
+            plane = jnp.take(plane, obj_index.astype(jnp.int32), axis=0)
+        flat_plane = plane.reshape(b, h * w, sd)
         px = (x + 1.0) * 0.5 * (w - 1)
         py = (y + 1.0) * 0.5 * (h - 1)
         x0 = jnp.floor(px)
@@ -108,10 +106,9 @@ def sample_packed_sum(
         def corner(xi, yi, weight):
             valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
             weight = jnp.where(valid, weight, 0)
-            flat = base + jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
-            rows = jnp.take(rows_all, flat.reshape(-1), axis=0,
-                            unique_indices=False, indices_are_sorted=False)
-            return rows.reshape(b, m, sd) * weight[..., None]
+            flat = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+            rows = jnp.take_along_axis(flat_plane, flat[..., None], axis=1)
+            return rows * weight[..., None]
 
         s = (
             corner(x0i, y0i, (1 - wx) * (1 - wy))

@@ -66,6 +66,7 @@ class Reconstructor:
         mesh=None,
         extract_method: str = "surface_nets",
         transport_dtype: str = "float16",
+        fuse_levels: bool = False,
     ):
         self.model = model
         self.simplify_nfaces = simplify_nfaces
@@ -268,6 +269,87 @@ class Reconstructor:
         self._is_slicenet = is_slicenet
         self._is_disn = is_disn
 
+        # -- fused-levels program (single object, single device; OPT-IN) --
+        # The level-l active mask depends only on level-(l-1) values, which
+        # already live on device — so the WHOLE coarse-to-fine refinement
+        # (encode + dense coarse + every masked level) can run as ONE
+        # device dispatch.  Active fine-lattice points are selected on
+        # device with jnp.nonzero at a fixed cap (static shape for XLA);
+        # the host learns per-level counts from the first (classic) run and
+        # buckets caps on the 1/1.5-pow2 grid, falling back to the classic
+        # per-level path on cap overflow.  Default OFF — measured on v5e
+        # at the full-quality point (res0 64, up 2): steady-state eval
+        # 0.88 s fused vs 0.68 s classic — the on-device selection
+        # (nonzero/scatter/upsample over the 17M-point fine lattice, plus
+        # cap-slack evaluation) costs ~3x the two ~33-66 ms round trips it
+        # removes, and each cap bucket is a fresh ~30 s XLA compile that
+        # varying objects re-trigger.  Kept opt-in: the correctness
+        # machinery (bit-exact mask twins, overflow fallback) is tested,
+        # and on hardware with a slower host link the trade can invert.
+        up_steps = int(upsampling_steps)
+        logit_thr = float(np.log(threshold) - np.log(1.0 - threshold))
+        self._fuse_ok = bool(fuse_levels) and use_seq and up_steps > 0
+        self._cap_seen = [0] * up_steps
+        self._fused_cache: Dict[Tuple[int, ...], object] = {}
+
+        if self._fuse_ok:
+            from .mesh.extract import (active_cells_jnp,
+                                       touched_lattice_mask_jnp,
+                                       upsample2x_jnp)
+
+            dilate = self.generator.dilate
+            n_l0 = (n0 + 1) ** 3
+
+            def make_fused(caps_k: Tuple[int, ...]):
+                @jax.jit
+                def fused(variables, imgs, *extras):
+                    encoded = encode_fn.__wrapped__(variables, imgs)
+                    enc_q = encoded if is_disn else (
+                        encoded[0] if is_slicenet else encoded)
+                    oid0 = jnp.int32(0)
+
+                    def body0(carry, idx):
+                        return carry, query_row_seq(
+                            variables, enc_q, idx, oid0, n0, extras)
+
+                    _, dvals = jax.lax.scan(body0, 0, idx0)  # (k0, c) wire
+                    grid = (dvals.reshape(-1)[:n_l0]
+                            .astype(jnp.float32).reshape((n0 + 1,) * 3))
+                    outs = []
+                    res = n0
+                    for kcap in caps_k:
+                        cap = kcap * c
+                        active = active_cells_jnp(grid, logit_thr, dilate)
+                        mask = touched_lattice_mask_jnp(active)
+                        fine = upsample2x_jnp(grid)
+                        res2 = 2 * res
+                        n_fine = (res2 + 1) ** 3
+                        idx = jnp.nonzero(
+                            mask.reshape(-1), size=cap,
+                            fill_value=n_fine)[0].astype(jnp.int32)
+                        n_act = jnp.sum(mask.astype(jnp.int32))
+
+                        def body(carry, ix):
+                            return carry, query_row_seq(
+                                variables, enc_q, ix, oid0, res2, extras)
+
+                        _, vals = jax.lax.scan(body, 0, idx.reshape(kcap, c))
+                        vflat = vals.reshape(-1)
+                        # fill-slot indices (== n_fine) land out of bounds
+                        # and are dropped by the scatter
+                        fine = (fine.reshape(-1)
+                                .at[idx].set(vflat.astype(jnp.float32),
+                                             mode="drop")
+                                .reshape(fine.shape))
+                        grid = fine
+                        outs.append((idx, vflat, n_act))
+                        res = res2
+                    return encoded, dvals.reshape(1, -1), outs
+
+                return fused
+
+            self._make_fused = make_fused
+
     def _pad_chunks(self, idx_b: np.ndarray) -> np.ndarray:
         """(B, m) flat lattice indices -> (k, B, c) chunk grid.
 
@@ -359,23 +441,58 @@ class Reconstructor:
             extras = tuple(jnp.asarray(e) for e in extras)
         return imgs, extras
 
-    def _conditioned_fns(self, feeds: Sequence[Dict[str, np.ndarray]]):
-        """Batch closures: (level evaluator, dense coarse vals, logit fns).
+    # -- fused-levels helpers ---------------------------------------------
 
-        The dense vals come from the fused encode+coarse dispatch; the
-        evaluator covers each masked refinement level of ALL B objects in
-        one dispatch — ``evaluator(idxs, res)`` takes per-object flat index
-        lists and returns per-object value arrays.  ``logit_fns[b]`` is the
-        per-object differentiable query used by refine_mesh.
+    def _note_level(self, res: int, n: int) -> None:
+        """Record a refinement level's real point count (cap learning)."""
+        l = (res // self.generator.resolution0).bit_length() - 2
+        if 0 <= l < len(self._cap_seen) and n > self._cap_seen[l]:
+            self._cap_seen[l] = n
+
+    def _caps_k(self) -> Optional[Tuple[int, ...]]:
+        """Per-level device caps in chunk units (1.3x headroom over the
+        largest count seen, bucketed), or None until a classic run has
+        recorded every level."""
+        if not self._fuse_ok or any(s == 0 for s in self._cap_seen):
+            return None
+        c = self.chunk_size
+        return tuple(self._pad_k(-(-int(1.3 * s) // c))
+                     for s in self._cap_seen)
+
+    def _fused_fn(self, caps_k: Tuple[int, ...]):
+        fn = self._fused_cache.get(caps_k)
+        if fn is None:
+            fn = self._fused_cache[caps_k] = self._make_fused(caps_k)
+        return fn
+
+    def _conditioned_fns(self, feeds: Sequence[Dict[str, np.ndarray]]):
+        """Dispatch the batch's device work; returns an opaque cond dict.
+
+        Classic kind: the fused encode+coarse dispatch has run (async) and
+        ``evaluator(idxs, res)`` covers each masked refinement level of ALL
+        B objects in one dispatch (per-object flat index lists in, value
+        arrays out).  Fused kind (single object): encode + dense coarse +
+        EVERY masked level already ran as one dispatch — the cond carries
+        the device outputs for host replay, plus the classic evaluator for
+        cap-overflow fallback.  ``logit_fn_for(b)`` is the per-object
+        differentiable query used by refine_mesh.
         """
         imgs, extras = self._stack_inputs(feeds)
-        encoded, dense_vals = self._encode_dense(self.variables, imgs, *extras)
+        caps_k = self._caps_k() if len(feeds) == 1 else None
+        if caps_k is not None:
+            encoded, dense_vals, levels = self._fused_fn(caps_k)(
+                self.variables, imgs, *extras)
+        else:
+            encoded, dense_vals = self._encode_dense(
+                self.variables, imgs, *extras)
+            levels = None
         enc_q = encoded if self._is_disn else (
             encoded[0] if self._is_slicenet else encoded)
 
         if self._use_seq:
 
             def evaluator(idxs: Sequence[np.ndarray], res: int):
+                self._note_level(res, max((len(ix) for ix in idxs), default=0))
                 packed = self._pad_chunks_seq(idxs)
                 if packed is None:
                     return [np.zeros((0,), np.float32) for _ in idxs]
@@ -389,6 +506,7 @@ class Reconstructor:
         else:
 
             def evaluator(idxs: Sequence[np.ndarray], res: int):
+                self._note_level(res, max((len(ix) for ix in idxs), default=0))
                 m_max = max((len(ix) for ix in idxs), default=0)
                 if m_max == 0:
                     return [np.zeros((0,), np.float32) for _ in idxs]
@@ -414,7 +532,10 @@ class Reconstructor:
 
             return logit_fn
 
-        return evaluator, dense_vals, logit_fn_for
+        return {"kind": "fused" if levels is not None else "classic",
+                "evaluator": evaluator, "dense_vals": dense_vals,
+                "levels": levels, "caps_k": caps_k,
+                "logit_fn_for": logit_fn_for}
 
     def _maybe_refine(self, mesh: Mesh, logit_fn_thunk, stats: Dict) -> Mesh:
         """Optional refine_mesh polish (reference reconstruct.py:271-332).
@@ -565,21 +686,75 @@ class Reconstructor:
 
         from .mesh.extract import GridRefiner
 
-        evaluator, dense_vals, logit_fn_for = cond
         g = self.generator
         logit_thr = float(np.log(g.threshold) - np.log(1.0 - g.threshold))
-        refiner = GridRefiner(
-            resolution0=g.resolution0, upsampling_steps=g.upsampling_steps,
-            threshold=logit_thr, box_size=g.box_size, chunk_size=g.chunk_size,
-            dilate=g.dilate,
-        )
         stats_list = [dict() for _ in range(n_feeds)]
         t0 = time.perf_counter()
-        grids = refiner.build_batch(evaluator, dense_vals, stats_list)
+        if cond["kind"] == "fused":
+            grids = [self._replay_fused(cond, logit_thr, stats_list[0])]
+        else:
+            refiner = GridRefiner(
+                resolution0=g.resolution0,
+                upsampling_steps=g.upsampling_steps,
+                threshold=logit_thr, box_size=g.box_size,
+                chunk_size=g.chunk_size, dilate=g.dilate,
+            )
+            grids = refiner.build_batch(cond["evaluator"],
+                                        cond["dense_vals"], stats_list)
         dt = time.perf_counter() - t0
         for st in stats_list:
             st["time_eval_points"] = dt
-        return grids, logit_fn_for, stats_list
+        return grids, cond["logit_fn_for"], stats_list
+
+    def _replay_fused(self, cond, logit_thr: float, stats: Dict) -> np.ndarray:
+        """Host replay of the fused-levels device outputs -> dense grid.
+
+        Per level: native trilinear upsample, then scatter the device
+        values at the host-recomputed (identical — the jnp mask twins are
+        bit-exact, tests/test_extract.py) ascending active indices.  If the
+        device cap overflowed (or the index sets ever diverged), the level
+        is re-evaluated through the classic per-level evaluator — correct,
+        just one extra dispatch — and the learned cap grows for next time.
+        """
+        from .mesh import refine_level
+
+        g = self.generator
+        n0 = g.resolution0
+        n_l0 = (n0 + 1) ** 3
+        grid = np.ascontiguousarray(
+            np.asarray(cond["dense_vals"], np.float32)[0, :n_l0]
+            .reshape((n0 + 1,) * 3))
+        n_eval = n_l0
+        res = n0
+        stale = False  # once a level falls back, later device levels were
+        # computed from a diverged device grid and must also go classic
+        for l, (idx_d, vals_d, n_d) in enumerate(cond["levels"]):
+            n = int(n_d)
+            self._note_level(2 * res, n)
+            cap = cond["caps_k"][l] * self.chunk_size
+            fine, idx_host = refine_level(grid, logit_thr, g.dilate)
+            res *= 2
+            ok = not stale and n <= cap and len(idx_host) == n
+            if ok and n:
+                ix = np.asarray(idx_d[:n])
+                ok = np.array_equal(ix, idx_host)
+                if ok:
+                    fine.reshape(-1)[ix] = np.asarray(vals_d, np.float32)[:n]
+            if not ok:
+                # cap overflow (device evaluated only a prefix of the mask)
+                # or index divergence: classic re-eval of the full host list
+                stale = True
+                if len(idx_host):
+                    vals = cond["evaluator"]([idx_host], res)[0]
+                    fine.reshape(-1)[idx_host] = np.asarray(
+                        vals[:len(idx_host)], np.float32)
+                n = len(idx_host)
+                self._note_level(res, n)
+            grid = fine
+            n_eval += n
+        stats["n_points_evaluated"] = n_eval
+        stats["final_resolution"] = res
+        return grid
 
     # Back-compat single-object helper used by tests/benches.
     def _build_grid(self, feed):

@@ -106,3 +106,26 @@ def test_native_refine_level_matches_numpy():
         idx_p = np.flatnonzero(mask.reshape(-1)).astype(np.int32)
         np.testing.assert_allclose(fine_n, fine_p, atol=1e-6)
         np.testing.assert_array_equal(idx_n, idx_p)
+
+
+def test_jnp_refine_twins_bit_exact():
+    """Device-side (jnp) refinement-level math must match the numpy/native
+    originals BIT-exactly — the fused-levels pipeline replays device
+    scatters onto a host-upsampled grid and any f32 divergence would
+    corrupt the final grid silently."""
+    import numpy as np
+
+    from slice3d_tpu.mesh.extract import (
+        _active_cells, _touched_lattice_mask, _upsample2x, active_cells_jnp,
+        touched_lattice_mask_jnp, upsample2x_jnp)
+
+    rng = np.random.default_rng(7)
+    for n in (9, 17):
+        g = rng.normal(size=(n, n, n)).astype(np.float32)
+        for dilate in (0, 1, 2):
+            a_np = _active_cells(g, 0.1, dilate)
+            assert (np.asarray(active_cells_jnp(g, 0.1, dilate)) == a_np).all()
+        a_np = _active_cells(g, 0.1, 1)
+        m_np = _touched_lattice_mask(a_np)
+        assert (np.asarray(touched_lattice_mask_jnp(a_np)) == m_np).all()
+        assert (np.asarray(upsample2x_jnp(g)) == _upsample2x(g)).all()

@@ -160,3 +160,48 @@ def test_disn_batched_matches_single():
         if len(mesh_b.vertices):
             np.testing.assert_allclose(mesh_b.vertices, mesh_s.vertices,
                                        atol=1e-5)
+
+
+def test_fused_levels_matches_classic(recon):
+    """The single-dispatch fused-levels path (device-side masks + capped
+    nonzero selection) must produce grids BIT-identical to the classic
+    per-level path, including across the cap-learning transition."""
+    model, variables = recon.model, recon.variables
+    kw = dict(resolution0=8, upsampling_steps=2, chunk_size=256)
+    classic = Reconstructor(model, variables, fuse_levels=False, **kw)
+    fused = Reconstructor(model, variables, fuse_levels=True, **kw)
+
+    feed = make_feed(3)
+    g_classic, _, st_c = classic._build_grid(feed)
+    g1, _, _ = fused._build_grid(feed)       # learning run (classic inside)
+    assert fused._caps_k() is not None
+    g2, _, st_f = fused._build_grid(feed)    # fused run
+    np.testing.assert_array_equal(g_classic, g1)
+    np.testing.assert_array_equal(g_classic, g2)
+    assert st_f["n_points_evaluated"] == st_c["n_points_evaluated"]
+
+    # a different object through the now-fused path still matches classic
+    feed2 = make_feed(4)
+    g_c2, _, _ = classic._build_grid(feed2)
+    g_f2, _, _ = fused._build_grid(feed2)
+    np.testing.assert_array_equal(g_c2, g_f2)
+
+
+def test_fused_levels_cap_overflow_falls_back(recon):
+    """Cap overflow at the FIRST level: that level and every later one
+    (stale device grid) re-evaluate classically; the grid stays identical
+    and the learned cap grows."""
+    model, variables = recon.model, recon.variables
+    kw = dict(resolution0=8, upsampling_steps=2, chunk_size=64)
+    classic = Reconstructor(model, variables, fuse_levels=False, **kw)
+    fused = Reconstructor(model, variables, fuse_levels=True, **kw)
+
+    feed = make_feed(3)
+    g_classic, _, _ = classic._build_grid(feed)
+    fused._build_grid(feed)  # learn real counts
+    seen = list(fused._cap_seen)
+    assert seen[0] > 64, "test premise: level-1 count must exceed one chunk"
+    fused._cap_seen = [1] + seen[1:]  # force level-1 cap to 1 chunk (64)
+    g_of, _, _ = fused._build_grid(feed)
+    np.testing.assert_array_equal(g_classic, g_of)
+    assert fused._cap_seen[0] == seen[0]  # cap re-learned from the fallback

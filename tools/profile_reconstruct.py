@@ -49,9 +49,11 @@ def main():
                    random_init=True)
     model = build_model(opts)
     variables = init_variables(model, opts)
+    # fuse_levels off: this tool times each refinement level's dispatch
+    # separately, which requires the classic per-level path
     recon = Reconstructor(model, variables, resolution0=args.res0,
                           upsampling_steps=args.up, threshold=0.5,
-                          chunk_size=args.chunk)
+                          chunk_size=args.chunk, fuse_levels=False)
 
     from bench import _frozen_images
 
@@ -63,7 +65,8 @@ def main():
     recon.reconstruct(feed)
 
     # -- instrumented run: wrap the evaluator to time each level ----------
-    evaluator, dense_vals, _ = recon._conditioned_fns([feed])
+    cond = recon._conditioned_fns([feed])
+    evaluator, dense_vals = cond["evaluator"], cond["dense_vals"]
     level_ledger = []
 
     def timed_evaluator(idxs, res):
