@@ -339,32 +339,53 @@ class SurfaceNets {
         }
       }
       // 2. x-edges interior to slab x: edge (x,y,z)->(x+1,y,z); the four
-      //    cells (x, y-1..y, z-1..z) all live in this slab.
+      //    cells (x, y-1..y, z-1..z) all live in this slab.  Word-skip:
+      //    8 z at a time, XOR of the two sign rows; zero word = no edge.
       for (int64_t y = 1; y < ny_ - 1; ++y) {
-        for (int64_t z = 1; z < nz_ - 1; ++z) {
-          const uint8_t sa = sgn(x, y, z);
-          if (sa == sgn(x + 1, y, z)) continue;
-          // cyclic order (u,v) = (y,z) gives outward normal +x for sa=1
-          quad(cid(s, y - 1, z - 1), cid(s, y, z - 1),
-               cid(s, y, z), cid(s, y - 1, z), !sa);
+        const uint8_t* pa = &sign[((x) * ny_ + y) * nz_];
+        const uint8_t* pb = &sign[((x + 1) * ny_ + y) * nz_];
+        for (int64_t z0 = 0; z0 < nz_; z0 += 8) {
+          uint64_t w = load8(pa + z0) ^ load8(pb + z0);
+          if (!w) continue;
+          const int64_t zmax = std::min<int64_t>(z0 + 8, nz_ - 1);
+          for (int64_t z = std::max<int64_t>(z0, 1); z < zmax; ++z) {
+            if (!((w >> (8 * (z - z0))) & 0xffu)) continue;
+            // cyclic order (u,v) = (y,z) gives outward normal +x for sa=1
+            quad(cid(s, y - 1, z - 1), cid(s, y, z - 1),
+                 cid(s, y, z), cid(s, y - 1, z), !pa[z]);
+          }
         }
       }
       if (x == 0) continue;
       // 3. y/z-edges on lattice plane x: four cells straddle slabs x-1, x.
+      //    Same word-skip: wy flags y-edges, wz flags z-edges (the z+1
+      //    shifted load may cross a row end — those bytes are excluded by
+      //    the scalar bounds checks, and a byte is exact wherever valid).
       for (int64_t y = 0; y < ny_; ++y) {
-        for (int64_t z = 0; z < nz_; ++z) {
-          const uint8_t sa = sgn(x, y, z);
-          if (y + 1 < ny_ && z >= 1 && z < nz_ - 1 &&
-              sa != sgn(x, y + 1, z)) {
-            // +y edge: cyclic order (u,v) = (z,x) -> outward +y for sa=1
-            quad(cid(sp, y, z - 1), cid(sp, y, z),
-                 cid(s, y, z), cid(s, y, z - 1), !sa);
-          }
-          if (z + 1 < nz_ && y >= 1 && y < ny_ - 1 &&
-              sa != sgn(x, y, z + 1)) {
-            // +z edge: cyclic order (u,v) = (x,y) -> outward +z for sa=1
-            quad(cid(sp, y - 1, z), cid(s, y - 1, z),
-                 cid(s, y, z), cid(sp, y, z), !sa);
+        const uint8_t* p = &sign[((x) * ny_ + y) * nz_];
+        const uint8_t* py1 = (y + 1 < ny_)
+            ? &sign[((x) * ny_ + y + 1) * nz_] : p;
+        for (int64_t z0 = 0; z0 < nz_; z0 += 8) {
+          const uint64_t row = load8(p + z0);
+          const uint64_t wy = row ^ load8(py1 + z0);
+          const uint64_t wz = row ^ load8(p + z0 + 1);
+          if (!(wy | wz)) continue;
+          const int64_t zmax = std::min<int64_t>(z0 + 8, nz_);
+          for (int64_t z = z0; z < zmax; ++z) {
+            const int shift = static_cast<int>(8 * (z - z0));
+            const uint8_t sa = p[z];
+            if (((wy >> shift) & 0xffu) &&
+                y + 1 < ny_ && z >= 1 && z < nz_ - 1) {
+              // +y edge: cyclic order (u,v) = (z,x) -> outward +y for sa=1
+              quad(cid(sp, y, z - 1), cid(sp, y, z),
+                   cid(s, y, z), cid(s, y, z - 1), !sa);
+            }
+            if (((wz >> shift) & 0xffu) &&
+                z + 1 < nz_ && y >= 1 && y < ny_ - 1) {
+              // +z edge: cyclic order (u,v) = (x,y) -> outward +z for sa=1
+              quad(cid(sp, y - 1, z), cid(s, y - 1, z),
+                   cid(s, y, z), cid(sp, y, z), !sa);
+            }
           }
         }
       }
