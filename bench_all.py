@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Benchmark harness for ALL BASELINE.json configs (1-5).
+"""Benchmark harness for ALL BASELINE.json configs (1-5) + training (6-7).
 
 Prints one JSON line per config.  ``bench.py`` stays the driver's single
 headline metric (config 1); this harness is the ledger source for
@@ -12,6 +12,8 @@ Configs (BASELINE.md):
   3. gtslice reconstruction from 12 slice images      [objects/min]
   4. kl-f8 VAE 13-image encode+decode                 [stacks/s]
   5. LDM DDIM-200 slice generation + gtslice -> mesh  [p50 s/object]
+  6. SliceNet regression TRAINING step                [steps/s, samples/s]
+  7. LDM TRAINING step (frozen VAE + cond + UNet)     [steps/s, samples/s]
 
 Weights are random-init (no pretrained ckpts ship with the reference
 either); all numbers are pure-throughput operating points.
@@ -231,13 +233,127 @@ def config5():
             "ddim_batch_s": round(t_gen, 3), "recon_s": round(dt, 3)}
 
 
+def _timed_steps(step_once, n_steps, warmup=2):
+    """Wall-time ``n_steps`` state-threading train steps after warmup.
+
+    ``step_once`` must force a host fetch of a scalar (float(logs[...]))
+    — block_until_ready does not synchronize through the axon tunnel.
+    """
+    for _ in range(warmup):
+        step_once()
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        step_once()
+    return time.perf_counter() - t0
+
+
+def config6():
+    """Regression TRAINING throughput (reference operating point:
+    bs 16, 128^2 images, 256 query points, Adam 3e-4, full 3-term loss
+    incl. the 0.001x VGG19 perceptual term — reg_slices/options.py:26-28,
+    train.py:41-53)."""
+    import jax
+
+    from slice3d_tpu.config import Options
+    from slice3d_tpu.models.vgg import VGG19Features
+    from slice3d_tpu.train.train_reg import RegressionTrainer
+
+    bs = int(ENV("BENCH6_BS", "16"))
+    n_qry = int(ENV("BENCH6_QRY", "256"))
+    n_steps = int(ENV("BENCH6_STEPS", "10"))
+    img = int(ENV("BENCH6_IMG", "128"))
+    opts = Options(name_model="slicenet", img_size=img, n_qry=n_qry, n_bs=bs)
+    vgg19 = VGG19Features().init(
+        jax.random.PRNGKey(0), np.zeros((1, 32, 32, 3), np.float32))
+    trainer = RegressionTrainer(opts, vgg19_params=vgg19)
+    state = trainer.init_state()
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "img_input": rng.normal(size=(bs, img, img, 3)).astype(np.float32),
+        "img_slices": rng.normal(size=(bs, 12, img, img, 3)).astype(np.float32),
+        "qry_norot": rng.uniform(-0.5, 0.5, (bs, n_qry, 3)).astype(np.float32),
+        "sdf": (rng.normal(size=(bs, n_qry)) * 0.1).astype(np.float32),
+        "occ": (rng.random((bs, n_qry)) > 0.5).astype(np.float32),
+        "obj_rot_mat": np.broadcast_to(
+            np.eye(3, dtype=np.float32), (bs, 3, 3)).copy(),
+        "trans_mat_wo_rot_tp": np.broadcast_to(
+            np.eye(4, 3, dtype=np.float32), (bs, 4, 3)).copy(),
+    }
+
+    box = {"state": state}
+
+    def step_once():
+        box["state"], logs = trainer.train_step(box["state"], batch)
+        return float(logs["loss"])
+
+    dt = _timed_steps(step_once, n_steps)
+    sps = n_steps / dt
+    return {"config": 6, "metric": "regression_train_steps_per_s",
+            "operating_point": f"bs={bs},qry={n_qry},img={img},3-term loss",
+            "value": round(sps, 3), "unit": "steps/s",
+            "vs_baseline": None,
+            "samples_per_s": round(sps * bs, 2),
+            "step_latency_s": round(dt / n_steps, 4)}
+
+
+def config7():
+    """LDM TRAINING throughput (reference operating point: bs 8, 128^2
+    39-ch stacks, frozen kl-f8 VAE encode + trainable cond stage + UNet
+    eps-loss — configs/latent-diffusion/objaverse-ldm-kl-8.yaml:2-34)."""
+    import jax
+    import jax.numpy as jnp
+
+    from slice3d_tpu.diffusion.latent import LatentDiffusion
+    from slice3d_tpu.train.train_ldm import LDMTrainer
+
+    bs = int(ENV("BENCH7_BS", "8"))
+    n_steps = int(ENV("BENCH7_STEPS", "10"))
+    img = 128
+    if ENV("BENCH7_TINY"):  # CPU smoke only — NOT a reportable point
+        img = 16
+        module = LatentDiffusion(
+            timesteps=20, vae_ch=32, vae_mult=(1, 2), vae_nres=1,
+            unet_channels=32, unet_mult=(1, 2), unet_nres=1,
+            unet_attention_ds=(2,), unet_inject_blocks=(0, 3),
+            cond_widths=(32, 64), latent_size=img // 2,
+            dtype=jnp.bfloat16)
+    else:
+        module = LatentDiffusion(latent_size=16, dtype=jnp.bfloat16)
+    tkw = {"timesteps": 20} if ENV("BENCH7_TINY") else {}
+    trainer = LDMTrainer(img_size=img, batch_size=bs, module=module,
+                         scale_by_std=False, use_ema=True, **tkw)
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.normal(size=(bs, 13, img, img, 3)).astype(np.float32),
+        "img_ipt_view": rng.normal(size=(bs, img, img, 3)).astype(np.float32),
+    }
+
+    box = {"state": trainer.init_state(), "i": 0}
+
+    def step_once():
+        key = jax.random.PRNGKey(box["i"])
+        box["i"] += 1
+        box["state"], logs = trainer.train_step(box["state"], batch, key)
+        return float(logs["loss_simple"])
+
+    dt = _timed_steps(step_once, n_steps)
+    sps = n_steps / dt
+    return {"config": 7, "metric": "ldm_train_steps_per_s",
+            "operating_point": f"bs={bs},{img}px,ema=on",
+            "value": round(sps, 3), "unit": "steps/s",
+            "vs_baseline": None,
+            "samples_per_s": round(sps * bs, 2),
+            "step_latency_s": round(dt / n_steps, 4)}
+
+
 def main():
     from slice3d_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    only = ENV("BENCH_CONFIGS", "1,2,3,4,5")
+    only = ENV("BENCH_CONFIGS", "1,2,3,4,5,6,7")
     fns = {"1": config1, "2": config2, "3": config3, "4": config4,
-           "5": config5}
+           "5": config5, "6": config6, "7": config7}
     for key in only.split(","):
         key = key.strip()
         if key in fns:
