@@ -445,51 +445,53 @@ int s3d_refine_level(const float* grid, int64_t n1 /* coarse n+1 */,
     return grid[(x * n1 + y) * n1 + z];
   };
 
-  // 1. active coarse cells (straddle test + dilation)
+  // 1. active coarse cells (straddle test + dilation).  Two vector-
+  //    friendly passes: per-lattice-row 4-row min/max, then the cell
+  //    test combines adjacent z — no 8-way scalar reduction per cell.
   std::vector<uint8_t> act(static_cast<size_t>(n * n * n), 0);
+  std::vector<float> rmin(n1), rmax(n1);
   for (int64_t x = 0; x < n; ++x) {
     for (int64_t y = 0; y < n; ++y) {
       const float* c00 = &grid[((x) * n1 + y) * n1];
       const float* c01 = &grid[((x) * n1 + y + 1) * n1];
       const float* c10 = &grid[((x + 1) * n1 + y) * n1];
       const float* c11 = &grid[((x + 1) * n1 + y + 1) * n1];
+      for (int64_t z = 0; z < n1; ++z) {
+        const float a0 = std::min(c00[z], c01[z]), a1 = std::min(c10[z], c11[z]);
+        const float b0 = std::max(c00[z], c01[z]), b1 = std::max(c10[z], c11[z]);
+        rmin[z] = std::min(a0, a1);
+        rmax[z] = std::max(b0, b1);
+      }
       uint8_t* a = &act[(x * n + y) * n];
       for (int64_t z = 0; z < n; ++z) {
-        float mn = c00[z], mx = c00[z];
-        const float vals[7] = {c00[z + 1], c01[z], c01[z + 1], c10[z],
-                               c10[z + 1], c11[z], c11[z + 1]};
-        for (float v : vals) {
-          mn = std::min(mn, v);
-          mx = std::max(mx, v);
-        }
-        a[z] = (mn <= thr && mx >= thr) ? 1 : 0;
+        a[z] = (std::min(rmin[z], rmin[z + 1]) <= thr &&
+                std::max(rmax[z], rmax[z + 1]) >= thr) ? 1 : 0;
       }
     }
   }
   for (int64_t it = 0; it < dilate; ++it) {
-    std::vector<uint8_t> grown(act);
-    auto at = [&](int64_t x, int64_t y, int64_t z) -> uint8_t {
-      return act[(x * n + y) * n + z];
-    };
+    std::vector<uint8_t> grown(act.size());
     for (int64_t x = 0; x < n; ++x) {
       for (int64_t y = 0; y < n; ++y) {
+        const uint8_t* c = &act[(x * n + y) * n];
+        const uint8_t* xm = (x > 0) ? c - n * n : c;
+        const uint8_t* xp = (x + 1 < n) ? c + n * n : c;
+        const uint8_t* ym = (y > 0) ? c - n : c;
+        const uint8_t* yp = (y + 1 < n) ? c + n : c;
+        uint8_t* g = &grown[(x * n + y) * n];
         for (int64_t z = 0; z < n; ++z) {
-          if (at(x, y, z)) continue;
-          uint8_t v = 0;
-          if (x > 0) v |= at(x - 1, y, z);
-          if (x + 1 < n) v |= at(x + 1, y, z);
-          if (y > 0) v |= at(x, y - 1, z);
-          if (y + 1 < n) v |= at(x, y + 1, z);
-          if (z > 0) v |= at(x, y, z - 1);
-          if (z + 1 < n) v |= at(x, y, z + 1);
-          if (v) grown[(x * n + y) * n + z] = 1;
+          g[z] = c[z] | xm[z] | xp[z] | ym[z] | yp[z];
         }
+        for (int64_t z = 1; z < n; ++z) g[z] |= c[z - 1];
+        for (int64_t z = 0; z + 1 < n; ++z) g[z] |= c[z + 1];
       }
     }
     act.swap(grown);
   }
 
-  // 2. trilinear 2x upsample into out_grid
+  // 2. trilinear 2x upsample into out_grid: one rolling 4-row sum per
+  //    output row (srow L1-resident), contiguous pair writes.
+  std::vector<float> srow(n1);
   for (int64_t x = 0; x < f1; ++x) {
     const int64_t x0 = x >> 1, x1 = std::min(n, (x + 1) >> 1);
     for (int64_t y = 0; y < f1; ++y) {
@@ -498,35 +500,46 @@ int s3d_refine_level(const float* grid, int64_t n1 /* coarse n+1 */,
       const float* r01 = &grid[(x0 * n1 + y1) * n1];
       const float* r10 = &grid[(x1 * n1 + y0) * n1];
       const float* r11 = &grid[(x1 * n1 + y1) * n1];
-      float* out = &out_grid[(x * f1 + y) * f1];
-      for (int64_t z = 0; z + 1 < f1; z += 2) {
-        const int64_t zc = z >> 1;
-        const float e = 0.25f * (r00[zc] + r01[zc] + r10[zc] + r11[zc]);
-        const float o = 0.25f * (r00[zc] + r01[zc] + r10[zc] + r11[zc] +
-                                 r00[zc + 1] + r01[zc + 1] + r10[zc + 1] +
-                                 r11[zc + 1]) * 0.5f;
-        out[z] = e;
-        out[z + 1] = o;
+      if (x0 == x1 && y0 == y1) {
+        for (int64_t zc = 0; zc < n1; ++zc) srow[zc] = 4.0f * r00[zc];
+      } else if (x0 == x1) {
+        for (int64_t zc = 0; zc < n1; ++zc)
+          srow[zc] = 2.0f * (r00[zc] + r01[zc]);
+      } else if (y0 == y1) {
+        for (int64_t zc = 0; zc < n1; ++zc)
+          srow[zc] = 2.0f * (r00[zc] + r10[zc]);
+      } else {
+        for (int64_t zc = 0; zc < n1; ++zc)
+          srow[zc] = r00[zc] + r01[zc] + r10[zc] + r11[zc];
       }
-      const int64_t zc = n;
-      out[f1 - 1] = 0.25f * (r00[zc] + r01[zc] + r10[zc] + r11[zc]);
+      float* out = &out_grid[(x * f1 + y) * f1];
+      for (int64_t zc = 0; zc < n; ++zc) {
+        out[2 * zc] = 0.25f * srow[zc];
+        out[2 * zc + 1] = 0.125f * (srow[zc] + srow[zc + 1]);
+      }
+      out[f1 - 1] = 0.25f * srow[n];
     }
   }
 
-  // 3. fine lattice points touched by an active cell: mark the 3x3x3
-  //    fine-point block of each active coarse cell, then collect.
+  // 3. fine lattice points touched by an active cell: z-runs of active
+  //    cells become one memset per (dx, dy) fine row instead of 9 3-byte
+  //    stores per cell.
   std::vector<uint8_t> mark(static_cast<size_t>(f1 * f1 * f1) + 8, 0);
   for (int64_t x = 0; x < n; ++x) {
     for (int64_t y = 0; y < n; ++y) {
       const uint8_t* a = &act[(x * n + y) * n];
-      for (int64_t z = 0; z < n; ++z) {
-        if (!a[z]) continue;
+      for (int64_t z = 0; z < n;) {
+        if (!a[z]) { ++z; continue; }
+        int64_t z1 = z;
+        while (z1 < n && a[z1]) ++z1;
+        const size_t len = static_cast<size_t>(2 * (z1 - z) + 1);
         for (int64_t dx = 0; dx < 3; ++dx) {
           for (int64_t dy = 0; dy < 3; ++dy) {
-            uint8_t* m = &mark[((2 * x + dx) * f1 + 2 * y + dy) * f1 + 2 * z];
-            m[0] = 1; m[1] = 1; m[2] = 1;
+            std::memset(&mark[((2 * x + dx) * f1 + 2 * y + dy) * f1 + 2 * z],
+                        1, len);
           }
         }
+        z = z1;
       }
     }
   }
