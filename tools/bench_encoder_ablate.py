@@ -1,0 +1,240 @@
+#!/usr/bin/env python
+"""Ablate the fused Pallas encoder layer to locate its cost on the chip.
+
+The dense 129^3 eval runs at ~17% analytic MFU (BASELINE.md round 3) even
+though the FFN — 85% of per-point FLOPs — maps to well-shaped MXU matmuls.
+This harness times the production kernel against surgical variants to find
+the slow stage:
+
+  full      production `_layer_kernel` (per-head qkv slabs + batched
+            (BLK,16,32)@(BLK,32,16) attention matmuls)
+  noattn    logits/softmax/apply removed (o_h := v_h trimmed) — isolates
+            the batched tiny-matmul attention cost
+  noffn     FFN matmuls removed — isolates the FFN cost
+  wideqkv   qkv as ONE (BLK*T,128)@(128,384) full-lane matmul + per-head
+            lane slices; attention unchanged — isolates the 12 narrow
+            N=32 projection matmuls
+  xla       plain jnp/einsum implementation under jit (no Pallas)
+
+All variants run the same (M, 13, 128) -> (M, 13, 128) layer shape and the
+same 3-layer stack the SDF head uses (last layer head_tokens=1).  Numerics
+of `wideqkv` are asserted against `full` before timing.  Timing forces a
+device->host pull per rep (block_until_ready lies through the axon tunnel).
+
+Usage: python tools/bench_encoder_ablate.py [M] [reps]
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, ".")
+
+from slice3d_tpu.ops import pallas_encoder as pe  # noqa: E402
+
+
+def _variant_kernel(mode: str, n_heads: int, head_tokens: int, t_real: int,
+                    x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+                    wo_ref, bo_ref, g1_ref, beta1_ref,
+                    w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, beta2_ref,
+                    o_ref):
+    blk, t, d = x_ref.shape
+    dh = wq_ref.shape[-1]
+    x = x_ref[:]
+    scale = 1.0 / math.sqrt(dh)
+    bd_last = lambda a, b: jax.lax.dot_general(
+        a, b, dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    if t != t_real:
+        key_pad = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, 1, t), 2) >= t_real
+        ).astype(jnp.float32) * (-1e9)
+
+    if mode == "wideqkv":
+        # one full-lane projection, then per-head lane slices
+        wqkv = jnp.concatenate(
+            [jnp.transpose(wq_ref[:], (1, 0, 2)).reshape(d, d),
+             jnp.transpose(wk_ref[:], (1, 0, 2)).reshape(d, d),
+             jnp.transpose(wv_ref[:], (1, 0, 2)).reshape(d, d)], axis=-1)
+        bqkv = jnp.concatenate(
+            [bq_ref[:].reshape(1, 1, d), bk_ref[:].reshape(1, 1, d),
+             bv_ref[:].reshape(1, 1, d)], axis=-1)
+        qkv = (bd_last(x, wqkv) + bqkv).astype(x.dtype)  # (BLK, T, 3D)
+
+    attn = None
+    for h in range(n_heads):
+        if mode == "wideqkv":
+            q_h = qkv[:, :, h * dh:(h + 1) * dh]
+            k_h = qkv[:, :, d + h * dh:d + (h + 1) * dh]
+            v_h = qkv[:, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
+        else:
+            q_h = (bd_last(x, wq_ref[h]) + bq_ref[h]).astype(x.dtype)
+            k_h = (bd_last(x, wk_ref[h]) + bk_ref[h]).astype(x.dtype)
+            v_h = (bd_last(x, wv_ref[h]) + bv_ref[h]).astype(x.dtype)
+        if head_tokens:
+            q_h = q_h[:, :head_tokens]
+        if mode == "noattn":
+            o_h = v_h[:, :head_tokens] if head_tokens else v_h
+        else:
+            logits = jax.lax.dot_general(
+                q_h, k_h, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if t != t_real:
+                logits = logits + key_pad
+            probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+            o_h = jax.lax.dot_general(
+                probs, v_h, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+        contrib = bd_last(o_h, wo_ref[h])
+        attn = contrib if attn is None else attn + contrib
+    attn = attn + bo_ref[:]
+
+    x_res = x[:, :head_tokens] if head_tokens else x
+
+    def layer_norm(v, g_ref, b_ref):
+        v = v.astype(jnp.float32)
+        mu = jnp.mean(v, axis=-1, keepdims=True)
+        var = jnp.mean((v - mu) ** 2, axis=-1, keepdims=True)
+        return ((v - mu) * jax.lax.rsqrt(var + 1e-5)) * g_ref[:] + b_ref[:]
+
+    h1 = layer_norm(x_res.astype(jnp.float32) + attn,
+                    g1_ref, beta1_ref).astype(x.dtype)
+
+    if mode == "noffn":
+        o_ref[:] = h1.astype(o_ref.dtype)
+        return
+    ff = bd_last(h1, w1_ref[:])
+    ff = jnp.maximum(ff + b1_ref[:], 0.0).astype(x.dtype)
+    ff = bd_last(ff, w2_ref[:]) + b2_ref[:]
+    out = layer_norm(h1.astype(jnp.float32) + ff, g2_ref, beta2_ref)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def variant_layer(x, params, mode, *, n_heads=4, head_tokens=0):
+    """fused_encoder_layer with `_layer_kernel` swapped for a variant."""
+    orig = pe._layer_kernel
+    pe._layer_kernel = functools.partial(_variant_kernel, mode)
+    try:
+        return pe.fused_encoder_layer(x, params, n_heads=n_heads,
+                                      head_tokens=head_tokens)
+    finally:
+        pe._layer_kernel = orig
+
+
+def xla_layer(x, params, *, n_heads=4, head_tokens=0):
+    b, m, t, d = x.shape
+    dh = d // n_heads
+    flat = x.reshape(b * m, t, d)
+    qkv = flat @ params["qkv"]["kernel"].astype(x.dtype) + \
+        params["qkv"]["bias"].astype(x.dtype)
+    q, k, v = jnp.split(qkv.reshape(b * m, t, n_heads, 3 * dh)
+                        .transpose(0, 2, 1, 3), 3, axis=-1)
+    if head_tokens:
+        q = q[:, :, :head_tokens]
+    logits = jnp.einsum("bhtd,bhsd->bhts", q, k).astype(jnp.float32)
+    probs = jax.nn.softmax(logits / math.sqrt(dh), -1).astype(x.dtype)
+    o = jnp.einsum("bhts,bhsd->bhts"[:4] + "d,bhsd->bthd"[1:], probs, v) \
+        if False else jnp.einsum("bhts,bhsd->bthd", probs, v)
+    t_out = head_tokens if head_tokens else t
+    o = o.reshape(b * m, t_out, d) @ params["out_proj"]["kernel"].astype(x.dtype) \
+        + params["out_proj"]["bias"].astype(x.dtype)
+
+    def ln(vv, p):
+        vv = vv.astype(jnp.float32)
+        mu = vv.mean(-1, keepdims=True)
+        var = ((vv - mu) ** 2).mean(-1, keepdims=True)
+        return (vv - mu) * jax.lax.rsqrt(var + 1e-5) * p["scale"] + p["bias"]
+
+    h1 = ln(flat[:, :t_out] + o, params["norm1"]).astype(x.dtype)
+    ff = jnp.maximum(h1 @ params["ff1"]["kernel"].astype(x.dtype)
+                     + params["ff1"]["bias"].astype(x.dtype), 0)
+    ff = ff @ params["ff2"]["kernel"].astype(x.dtype) \
+        + params["ff2"]["bias"].astype(x.dtype)
+    return ln(h1 + ff, params["norm2"]).astype(x.dtype) \
+        .reshape(b, m, t_out, d)
+
+
+def make_params(key, d=128, f=2048):
+    ks = jax.random.split(key, 8)
+    g = lambda k, shape, s: (jax.random.normal(k, shape) * s).astype(jnp.float32)
+    return {
+        "qkv": {"kernel": g(ks[0], (d, 3 * d), 0.05), "bias": g(ks[1], (3 * d,), 0.02)},
+        "out_proj": {"kernel": g(ks[2], (d, d), 0.05), "bias": g(ks[3], (d,), 0.02)},
+        "ff1": {"kernel": g(ks[4], (d, f), 0.05), "bias": g(ks[5], (f,), 0.02)},
+        "ff2": {"kernel": g(ks[6], (f, d), 0.05), "bias": g(ks[7], (d,), 0.02)},
+        "norm1": {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))},
+        "norm2": {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))},
+    }
+
+
+def stack3(layer_fn, x, plist):
+    h = layer_fn(x, plist[0], head_tokens=0)
+    h = layer_fn(h, plist[1], head_tokens=0)
+    return layer_fn(h, plist[2], head_tokens=1)
+
+
+def main():
+    m = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    t, d = 13, 128
+    key = jax.random.PRNGKey(0)
+    plist = [make_params(k) for k in jax.random.split(key, 3)]
+    x = (jax.random.normal(jax.random.PRNGKey(1), (1, m, t, d)) * 0.5
+         ).astype(jnp.bfloat16)
+
+    fns = {
+        "full": lambda xx: stack3(
+            lambda a, p, head_tokens: pe.fused_encoder_layer(
+                a, p, n_heads=4, head_tokens=head_tokens), xx, plist),
+        "wideqkv": lambda xx: stack3(
+            lambda a, p, head_tokens: variant_layer(
+                a, p, "wideqkv", head_tokens=head_tokens), xx, plist),
+        "noattn": lambda xx: stack3(
+            lambda a, p, head_tokens: variant_layer(
+                a, p, "noattn", head_tokens=head_tokens), xx, plist),
+        "noffn": lambda xx: stack3(
+            lambda a, p, head_tokens: variant_layer(
+                a, p, "noffn", head_tokens=head_tokens), xx, plist),
+        "xla": lambda xx: stack3(
+            lambda a, p, head_tokens: xla_layer(
+                a, p, head_tokens=head_tokens), xx, plist),
+    }
+
+    # numerics: wideqkv must match full
+    ref = np.asarray(jax.jit(fns["full"])(x), np.float32)
+    alt = np.asarray(jax.jit(fns["wideqkv"])(x), np.float32)
+    err = float(np.max(np.abs(ref - alt)))
+    print(f"wideqkv vs full max|diff| = {err:.2e}")
+    assert err < 2e-2, "wideqkv numerics diverge"
+
+    flops_full = m * 3 * (2 * 16 * d * 3 * d + 2 * 2 * 16 * 16 * 32
+                          + 2 * 16 * 32 * d * 4 + 2 * 2 * 16 * d * 2048)
+    for name, fn in fns.items():
+        jf = jax.jit(fn)
+        np.asarray(jf(x))  # compile
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(jf(x))
+            ts.append(time.perf_counter() - t0)
+        p50 = float(np.median(ts))
+        print(f"{name:8s} p50 {p50 * 1e3:8.2f} ms   "
+              f"{m / p50 / 1e6:6.2f} M pts/s   "
+              f"(~{flops_full / p50 / 197e12 * 100:4.1f}% MFU if full-work)")
+
+
+if __name__ == "__main__":
+    main()
