@@ -14,6 +14,12 @@ the slow stage:
   wideqkv   qkv as ONE (BLK*T,128)@(128,384) full-lane matmul + per-head
             lane slices; attention unchanged — isolates the 12 narrow
             N=32 projection matmuls
+  grouped   wideqkv + block-diagonal grouped attention: g=8 points share
+            one (g*T, dh)@(dh, g*T) logits matmul; an additive mask kills
+            cross-point logits, so softmax zeroes them and the apply
+            matmul is block-diagonal for free.  Turns 128 serialized
+            (16,32)@(32,16) MXU calls into 16 batched (128,32)@(32,128)
+            calls per head; out_proj is one full-width matmul.
   xla       plain jnp/einsum implementation under jit (no Pallas)
 
 All variants run the same (M, 13, 128) -> (M, 13, 128) layer shape and the
@@ -60,6 +66,67 @@ def _variant_kernel(mode: str, n_heads: int, head_tokens: int, t_real: int,
         key_pad = (
             jax.lax.broadcasted_iota(jnp.int32, (1, 1, t), 2) >= t_real
         ).astype(jnp.float32) * (-1e9)
+
+    if mode == "grouped":
+        t_out = head_tokens if head_tokens else t
+        g = 8
+        n_g = blk // g
+        wqkv = jnp.concatenate(
+            [jnp.transpose(wq_ref[:], (1, 0, 2)).reshape(d, d),
+             jnp.transpose(wk_ref[:], (1, 0, 2)).reshape(d, d),
+             jnp.transpose(wv_ref[:], (1, 0, 2)).reshape(d, d)], axis=-1)
+        bqkv = jnp.concatenate(
+            [bq_ref[:].reshape(1, 1, d), bk_ref[:].reshape(1, 1, d),
+             bv_ref[:].reshape(1, 1, d)], axis=-1)
+        qkv = (bd_last(x, wqkv) + bqkv).astype(x.dtype)  # (BLK, T, 3D)
+
+        # additive mask over the packed group: row r is point r//t_out,
+        # col c is point c//t, token c%t — cross-point or padded-key
+        # entries get -1e9
+        row_pt = jax.lax.broadcasted_iota(
+            jnp.int32, (1, g * t_out, g * t), 1) // t_out
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, g * t_out, g * t), 2)
+        mask = jnp.where((row_pt == col // t) & (col % t < t_real),
+                         0.0, -1e9).astype(jnp.float32)
+
+        bdot = lambda a, b, tr: jax.lax.dot_general(
+            a, b, dimension_numbers=(((2,), (2 if tr else 1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        o_cat = None
+        for h in range(n_heads):
+            q_h = qkv[:, :head_tokens, h * dh:(h + 1) * dh] if head_tokens \
+                else qkv[:, :, h * dh:(h + 1) * dh]
+            k_h = qkv[:, :, d + h * dh:d + (h + 1) * dh]
+            v_h = qkv[:, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
+            qg = q_h.reshape(n_g, g * t_out, dh)
+            kg = k_h.reshape(n_g, g * t, dh)
+            vg = v_h.reshape(n_g, g * t, dh)
+            logits = bdot(qg, kg, True) * scale + mask  # (n_g, gT_out, gT)
+            probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+            o_h = bdot(probs, vg, False).astype(x.dtype)  # (n_g, gT_out, dh)
+            o_h = o_h.reshape(blk, t_out, dh)
+            o_cat = o_h if o_cat is None else jnp.concatenate(
+                [o_cat, o_h], axis=-1)
+        wo_full = wo_ref[:].reshape(d, d)  # head-major rows = concat order
+        attn = bd_last(o_cat, wo_full) + bo_ref[:]
+
+        x_res = x[:, :head_tokens] if head_tokens else x
+
+        def layer_norm_g(v, g_ref_, b_ref_):
+            v = v.astype(jnp.float32)
+            mu = jnp.mean(v, axis=-1, keepdims=True)
+            var = jnp.mean((v - mu) ** 2, axis=-1, keepdims=True)
+            return ((v - mu) * jax.lax.rsqrt(var + 1e-5)) * g_ref_[:] + b_ref_[:]
+
+        h1 = layer_norm_g(x_res.astype(jnp.float32) + attn,
+                          g1_ref, beta1_ref).astype(x.dtype)
+        ff = bd_last(h1, w1_ref[:])
+        ff = jnp.maximum(ff + b1_ref[:], 0.0).astype(x.dtype)
+        ff = bd_last(ff, w2_ref[:]) + b2_ref[:]
+        out = layer_norm_g(h1.astype(jnp.float32) + ff, g2_ref, beta2_ref)
+        o_ref[:] = out.astype(o_ref.dtype)
+        return
 
     if mode == "wideqkv":
         # one full-lane projection, then per-head lane slices
@@ -202,6 +269,9 @@ def main():
         "wideqkv": lambda xx: stack3(
             lambda a, p, head_tokens: variant_layer(
                 a, p, "wideqkv", head_tokens=head_tokens), xx, plist),
+        "grouped": lambda xx: stack3(
+            lambda a, p, head_tokens: variant_layer(
+                a, p, "grouped", head_tokens=head_tokens), xx, plist),
         "noattn": lambda xx: stack3(
             lambda a, p, head_tokens: variant_layer(
                 a, p, "noattn", head_tokens=head_tokens), xx, plist),
@@ -213,12 +283,13 @@ def main():
                 a, p, head_tokens=head_tokens), xx, plist),
     }
 
-    # numerics: wideqkv must match full
+    # numerics: the exact-math variants must match full
     ref = np.asarray(jax.jit(fns["full"])(x), np.float32)
-    alt = np.asarray(jax.jit(fns["wideqkv"])(x), np.float32)
-    err = float(np.max(np.abs(ref - alt)))
-    print(f"wideqkv vs full max|diff| = {err:.2e}")
-    assert err < 2e-2, "wideqkv numerics diverge"
+    for name in ("wideqkv", "grouped"):
+        alt = np.asarray(jax.jit(fns[name])(x), np.float32)
+        err = float(np.max(np.abs(ref - alt)))
+        print(f"{name} vs full max|diff| = {err:.2e}")
+        assert err < 2e-2, f"{name} numerics diverge"
 
     flops_full = m * 3 * (2 * 16 * d * 3 * d + 2 * 2 * 16 * 16 * 32
                           + 2 * 16 * 32 * d * 4 + 2 * 2 * 16 * d * 2048)
