@@ -101,7 +101,94 @@ def _layer_kernel(n_heads: int, head_tokens: int, t_real: int,
     o_ref[:] = out.astype(o_ref.dtype)
 
 
-def fused_encoder_layer(x, params, *, n_heads: int = 4, head_tokens: int = 0):
+def _layer_kernel_grouped(n_heads: int, head_tokens: int, t_real: int,
+                          group: int,
+                          x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+                          g1_ref, beta1_ref,
+                          w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, beta2_ref,
+                          o_ref):
+    """Grouped block-diagonal attention variant of `_layer_kernel`.
+
+    The default kernel issues, per head, a `blk`-way batched
+    (T,Dh)@(Dh,T) dot_general — Mosaic lowers that to `blk` serialized
+    tiny MXU matmuls, which dominates the layer at T=16/Dh=32.  Here
+    `group` points share ONE (group*T, Dh)@(Dh, group*T) logits matmul;
+    an additive mask sends cross-point and padded-key logits to -1e9, so
+    softmax zeroes them and the probs@values matmul is block-diagonal for
+    free.  qkv and out-proj run as single full-lane matmuls.
+    """
+    blk, t, d = x_ref.shape
+    dh = d // n_heads
+    t_out = head_tokens if head_tokens else t
+    n_g = blk // group
+    x = x_ref[:]
+
+    scale = 1.0 / math.sqrt(dh)
+    bd_last = lambda a, b: jax.lax.dot_general(
+        a, b, dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    bdot = lambda a, b, tr: jax.lax.dot_general(
+        a, b, dimension_numbers=(((2,), (2 if tr else 1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+    qkv = (bd_last(x, wqkv_ref[:]) + bqkv_ref[:]).astype(x.dtype)  # (BLK,T,3D)
+
+    # additive mask over the packed group: row r belongs to point
+    # r // t_out, col c to point c // t with key token c % t
+    row_pt = jax.lax.broadcasted_iota(
+        jnp.int32, (1, group * t_out, group * t), 1) // t_out
+    col = jax.lax.broadcasted_iota(
+        jnp.int32, (1, group * t_out, group * t), 2)
+    mask = jnp.where((row_pt == col // t) & (col % t < t_real),
+                     0.0, -1e9).astype(jnp.float32)
+
+    o_cat = None
+    for h in range(n_heads):
+        q_h = qkv[:, :t_out, h * dh:(h + 1) * dh]
+        k_h = qkv[:, :, d + h * dh:d + (h + 1) * dh]
+        v_h = qkv[:, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
+        qg = q_h.reshape(n_g, group * t_out, dh)
+        kg = k_h.reshape(n_g, group * t, dh)
+        vg = v_h.reshape(n_g, group * t, dh)
+        logits = bdot(qg, kg, True) * scale + mask
+        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        o_h = bdot(probs, vg, False).astype(x.dtype)
+        o_h = o_h.reshape(blk, t_out, dh)
+        o_cat = o_h if o_cat is None else jnp.concatenate([o_cat, o_h], -1)
+    attn = bd_last(o_cat, wo_ref[:]) + bo_ref[:]
+
+    x_res = x[:, :head_tokens] if head_tokens else x
+
+    def layer_norm(v, g_ref, b_ref):
+        v = v.astype(jnp.float32)
+        mu = jnp.mean(v, axis=-1, keepdims=True)
+        var = jnp.mean((v - mu) ** 2, axis=-1, keepdims=True)
+        return ((v - mu) * jax.lax.rsqrt(var + 1e-5)) * g_ref[:] + b_ref[:]
+
+    h1 = layer_norm(x_res.astype(jnp.float32) + attn,
+                    g1_ref, beta1_ref).astype(x.dtype)
+
+    ff = bd_last(h1, w1_ref[:])
+    ff = jnp.maximum(ff + b1_ref[:], 0.0).astype(x.dtype)
+    ff = bd_last(ff, w2_ref[:]) + b2_ref[:]
+
+    out = layer_norm(h1.astype(jnp.float32) + ff, g2_ref, beta2_ref)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def grouped_attention_default() -> bool:
+    """Whether fused_encoder_layer uses the grouped-attention kernel.
+
+    Opt-in via SLICE3D_ENCODER_GROUPED=1 until chip-measured (see
+    tools/bench_encoder_ablate.py); numerics are pinned equal either way.
+    """
+    return bool(os.environ.get("SLICE3D_ENCODER_GROUPED"))
+
+
+def fused_encoder_layer(x, params, *, n_heads: int = 4, head_tokens: int = 0,
+                        grouped: bool | None = None):
     """x: (B, M, T, D) tokens -> (B, M, T_out, D).
 
     params: the TransformerEncoderLayer param tree (qkv/out_proj/ff1/ff2
@@ -113,6 +200,8 @@ def fused_encoder_layer(x, params, *, n_heads: int = 4, head_tokens: int = 0):
     n = b * m
     dt = x.dtype
     blk = _block_points(dt)
+    if grouped is None:
+        grouped = grouped_attention_default()
 
     # pad the token axis to the sublane tile so bf16 layouts stay native;
     # padded keys are masked inside the kernel
@@ -126,6 +215,51 @@ def fused_encoder_layer(x, params, *, n_heads: int = 4, head_tokens: int = 0):
     if pad_n or t_pad != t:
         flat = jnp.pad(flat, ((0, pad_n), (0, t_pad - t), (0, 0)))
     np_ = n + pad_n
+
+    if grouped:
+        group = max(1, 128 // t_pad)
+        while blk % group:
+            group //= 2
+        kernel_g = functools.partial(_layer_kernel_grouped, n_heads,
+                                     head_tokens, t, group)
+        full_g = lambda shape: pl.BlockSpec(
+            shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+        row3_g = lambda v: v.reshape(1, 1, -1).astype(jnp.float32)
+        out = pl.pallas_call(
+            kernel_g,
+            grid=(np_ // blk,),
+            interpret=bool(os.environ.get("SLICE3D_PALLAS_INTERPRET")),
+            in_specs=[
+                pl.BlockSpec((blk, t_pad, d), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                full_g((d, 3 * d)), full_g((1, 1, 3 * d)),
+                full_g((d, d)), full_g((1, 1, d)),
+                full_g((1, 1, d)), full_g((1, 1, d)),
+                full_g((d, f)), full_g((1, 1, f)),
+                full_g((f, d)), full_g((1, 1, d)),
+                full_g((1, 1, d)), full_g((1, 1, d)),
+            ],
+            out_specs=pl.BlockSpec((blk, t_out_pad, d), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((np_, t_out_pad, d), dt),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * np_ * t_pad * d * (3 * d + d + 2 * f),
+                bytes_accessed=np_ * t_pad * d * 2 * 2,
+                transcendentals=np_ * t_pad * t_pad,
+            ),
+        )(
+            flat,
+            params["qkv"]["kernel"].astype(dt),
+            row3_g(params["qkv"]["bias"]),
+            # out_proj rows are head-major (H*Dh, D) = concat order
+            params["out_proj"]["kernel"].astype(dt),
+            row3_g(params["out_proj"]["bias"]),
+            row3_g(params["norm1"]["scale"]), row3_g(params["norm1"]["bias"]),
+            params["ff1"]["kernel"].astype(dt), row3_g(params["ff1"]["bias"]),
+            params["ff2"]["kernel"].astype(dt), row3_g(params["ff2"]["bias"]),
+            row3_g(params["norm2"]["scale"]), row3_g(params["norm2"]["bias"]),
+        )
+        return out[:n, :t_out].reshape(b, m, t_out, d)
 
     kq = params["qkv"]["kernel"].astype(dt)  # (D, 3D) cols = [q | k | v]
     bq = params["qkv"]["bias"].astype(jnp.float32)

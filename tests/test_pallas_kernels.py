@@ -46,6 +46,57 @@ def test_fused_encoder_layer_full_tokens(monkeypatch):
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=5e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("head_tokens", [0, 1])
+def test_grouped_encoder_layer_matches_reference(monkeypatch, head_tokens):
+    """The grouped block-diagonal attention kernel is numerically the same
+    layer as the default per-head kernel (vs the unfused reference)."""
+    monkeypatch.setenv("SLICE3D_PALLAS_INTERPRET", "1")
+
+    from slice3d_tpu.models.layers import TransformerEncoder
+    from slice3d_tpu.ops.pallas_encoder import fused_encoder_layer
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, 300, 13, 128)).astype(np.float32))
+
+    ref_mod = TransformerEncoder(num_layers=1, final_head_tokens=head_tokens,
+                                 fused_ffn=False)
+    variables = ref_mod.init(jax.random.PRNGKey(3), x)
+    ref = ref_mod.apply(variables, x)
+
+    params = variables["params"]["layer0"]
+    fast = fused_encoder_layer(x, params, n_heads=4, head_tokens=head_tokens,
+                               grouped=True)
+    assert fast.shape == np.asarray(ref).shape
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_grouped_encoder_layer_bf16(monkeypatch):
+    monkeypatch.setenv("SLICE3D_PALLAS_INTERPRET", "1")
+
+    from slice3d_tpu.ops.pallas_encoder import fused_encoder_layer
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(1, 256, 13, 128)) * 0.5).astype(jnp.bfloat16)
+
+    def g(k, shape, s):
+        return jnp.asarray(rng.normal(size=shape).astype(np.float32) * s)
+
+    d, f = 128, 2048
+    params = {
+        "qkv": {"kernel": g(0, (d, 3 * d), 0.05), "bias": g(0, (3 * d,), 0.02)},
+        "out_proj": {"kernel": g(0, (d, d), 0.05), "bias": g(0, (d,), 0.02)},
+        "ff1": {"kernel": g(0, (d, f), 0.05), "bias": g(0, (f,), 0.02)},
+        "ff2": {"kernel": g(0, (f, d), 0.05), "bias": g(0, (d,), 0.02)},
+        "norm1": {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))},
+        "norm2": {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))},
+    }
+    base = fused_encoder_layer(x, params, n_heads=4, head_tokens=1)
+    grp = fused_encoder_layer(x, params, n_heads=4, head_tokens=1, grouped=True)
+    err = np.max(np.abs(np.asarray(base, np.float32) - np.asarray(grp, np.float32)))
+    assert err < 2e-2, err  # bf16 rounding with different matmul grouping
+
+
 def test_fused_ffn_matches_jnp():
     from slice3d_tpu.ops.pallas_ffn import fused_ffn
 
