@@ -1,0 +1,203 @@
+#!/usr/bin/env python
+"""Persistent single-image -> mesh inference server.
+
+The batch CLIs (`reconstruct.py`) pay model build + XLA compile per
+process; a serving deployment wants them paid ONCE.  This stdlib-only
+server loads the model, compiles the reconstruction programs on a warmup
+image, then answers requests from the resident jitted pipeline (the
+reference has no serving story at all — its closest path is
+create_dataset_sin_img.py + a fresh reconstruct.py run per image).
+
+  python serve.py --name_model slicenet --name_exp exp1 --name_ckpt m.ckpt \
+      --mc_res0 64 --mc_up_steps 2 --port 8080
+
+Endpoints:
+  GET  /healthz            -> {"ok": true, model/operating point info}
+  POST /reconstruct        -> OBJ text (body: PNG/JPEG image; RGBA alpha
+                              marks the object).  Query params:
+                                center=1  alpha-bbox recenter (default 1)
+                                format=json -> {"obj": ..., "stats": ...}
+                              Per-request stats ride the X-Slice3D-Stats
+                              header either way.
+
+Device access is serialized with a lock (one chip, one program); the
+HTTP layer is threaded so decode/preprocess overlaps device work.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+__all__ = ["build_service", "Slice3DService", "main"]
+
+
+def _center_rgba(img):
+    """Alpha-bbox recentering (same rule as create_dataset_sin_img)."""
+    from PIL import Image
+
+    alpha = img.split()[3]
+    bbox = alpha.getbbox()
+    if bbox is None:
+        return img
+    w, h = img.size
+    ow, oh = bbox[2] - bbox[0], bbox[3] - bbox[1]
+    off = ((w - ow) // 2 - bbox[0], (h - oh) // 2 - bbox[1])
+    canvas = Image.new("RGBA", (w, h), (0, 0, 0, 0))
+    canvas.paste(img, off, mask=alpha)
+    return canvas
+
+
+def _mesh_to_obj(mesh) -> str:
+    out = io.StringIO()
+    for v in np.asarray(mesh.vertices, np.float32):
+        out.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+    for f in np.asarray(mesh.faces, np.int64) + 1:
+        out.write(f"f {f[0]} {f[1]} {f[2]}\n")
+    return out.getvalue()
+
+
+class Slice3DService:
+    """Model + Reconstructor resident in memory; thread-safe reconstruct."""
+
+    def __init__(self, opts, recon):
+        self.opts = opts
+        self.recon = recon
+        self._lock = threading.Lock()
+        from slice3d_tpu import camera
+
+        _, proj = camera.camera_matrices(0.0, 0.0, 1.2)
+        self._proj = proj.astype(np.float32)
+
+    def warmup(self):
+        img = np.zeros((self.opts.img_size, self.opts.img_size, 3), np.float32)
+        self.reconstruct_array(img)
+
+    def preprocess(self, img_bytes: bytes, center: bool = True) -> np.ndarray:
+        from PIL import Image
+
+        from slice3d_tpu.data.dataset import preprocess_image
+
+        img = Image.open(io.BytesIO(img_bytes))
+        if img.mode == "RGBA" and center:
+            img = _center_rgba(img)
+        return preprocess_image(img, self.opts.img_size,
+                                self.opts.use_white_bg)
+
+    def reconstruct_array(self, img: np.ndarray):
+        feed = {"img_input": img.astype(np.float32),
+                "trans_mat_wo_rot_tp": self._proj}
+        with self._lock:
+            return self.recon.reconstruct(feed)
+
+    def reconstruct(self, img_bytes: bytes, center: bool = True):
+        mesh, stats = self.reconstruct_array(self.preprocess(img_bytes, center))
+        return _mesh_to_obj(mesh), {
+            k: v for k, v in stats.items()
+            if isinstance(v, (int, float, np.integer, np.floating))
+        }
+
+
+def build_service(opts) -> Slice3DService:
+    if opts.name_model not in ("slicenet", "disn"):
+        raise SystemExit(
+            "serve.py needs a single-image model (slicenet or disn); the "
+            "gtslice/LDM route requires slice images per request")
+    from slice3d_tpu.models.build import build_model, load_model_variables
+    from slice3d_tpu.pipeline import Reconstructor
+
+    model = build_model(opts)
+    ckpt_path = None
+    if opts.name_ckpt:
+        import os
+
+        ckpt_path = os.path.join(opts.exp_dir, "ckpt", opts.name_ckpt)
+    variables = load_model_variables(model, opts, ckpt_path)
+    recon = Reconstructor(
+        model, variables,
+        resolution0=opts.mc_res0,
+        upsampling_steps=opts.mc_up_steps,
+        threshold=opts.mc_threshold,
+        chunk_size=opts.mc_chunk_size,
+        simplify_nfaces=opts.simplify_nfaces,
+        refine_steps=opts.mc_refine_steps,
+        extract_method=opts.mc_extract,
+    )
+    return Slice3DService(opts, recon)
+
+
+def make_handler(service: Slice3DService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _send(self, code, body: bytes, ctype: str, extra=None):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            for k, v in (extra or {}).items():
+                self.send_header(k, v)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if urlparse(self.path).path != "/healthz":
+                return self._send(404, b"not found", "text/plain")
+            o = service.opts
+            info = {"ok": True, "model": o.name_model,
+                    "img_size": o.img_size, "mc_res0": o.mc_res0,
+                    "mc_up_steps": o.mc_up_steps}
+            self._send(200, json.dumps(info).encode(), "application/json")
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            if url.path != "/reconstruct":
+                return self._send(404, b"not found", "text/plain")
+            q = parse_qs(url.query)
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n)
+            try:
+                obj, stats = service.reconstruct(
+                    body, center=q.get("center", ["1"])[0] != "0")
+            except Exception as e:  # bad image, wrong mode, ...
+                return self._send(400, str(e).encode(), "text/plain")
+            hdr = {"X-Slice3D-Stats": json.dumps(stats)}
+            if q.get("format", [""])[0] == "json":
+                payload = json.dumps({"obj": obj, "stats": stats}).encode()
+                return self._send(200, payload, "application/json", hdr)
+            self._send(200, obj.encode(), "text/plain", hdr)
+
+    return Handler
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(add_help=False)
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8080)
+    srv_args, rest = parser.parse_known_args(argv)
+
+    from slice3d_tpu.config import options_from_args
+    from slice3d_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    opts = options_from_args(rest)
+    service = build_service(opts)
+    print("compiling warmup reconstruction ...", flush=True)
+    service.warmup()
+
+    server = ThreadingHTTPServer((srv_args.host, srv_args.port),
+                                 make_handler(service))
+    print(f"serving {opts.name_model} on http://{srv_args.host}:"
+          f"{server.server_address[1]}  (res0 {opts.mc_res0}, "
+          f"up {opts.mc_up_steps})", flush=True)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

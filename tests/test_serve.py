@@ -1,0 +1,94 @@
+"""Drive the inference server end-to-end over HTTP (CPU backend)."""
+
+import http.client
+import io
+import json
+import os
+import sys
+import threading
+
+import numpy as np
+import pytest
+from PIL import Image
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _png_bytes(size=48):
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 255, size=(size, size, 4), dtype=np.uint8)
+    arr[..., 3] = 0
+    arr[8:40, 8:40, 3] = 255  # off-center object for the recenter path
+    buf = io.BytesIO()
+    Image.fromarray(arr, "RGBA").save(buf, "PNG")
+    return buf.getvalue()
+
+
+@pytest.mark.slow
+def test_serve_reconstruct_http():
+    sys.path.insert(0, ROOT)
+    try:
+        import serve
+    finally:
+        sys.path.remove(ROOT)
+    from http.server import ThreadingHTTPServer
+
+    from slice3d_tpu.config import Options
+
+    opts = Options(name_model="slicenet", img_size=32, random_init=True,
+                   mc_res0=8, mc_up_steps=0, mc_chunk_size=1024)
+    service = serve.build_service(opts)
+    service.warmup()
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), serve.make_handler(service))
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+
+        conn.request("GET", "/healthz")
+        resp = conn.getresponse()
+        health = json.loads(resp.read())
+        assert resp.status == 200 and health["ok"] and health["mc_res0"] == 8
+
+        body = _png_bytes()
+        conn.request("POST", "/reconstruct", body=body)
+        resp = conn.getresponse()
+        obj = resp.read().decode()
+        assert resp.status == 200
+        stats = json.loads(resp.getheader("X-Slice3D-Stats"))
+        assert stats["n_points_evaluated"] == 9 ** 3
+        for line in obj.splitlines():
+            assert line.startswith(("v ", "f "))
+
+        conn.request("POST", "/reconstruct?format=json&center=0", body=body)
+        resp = conn.getresponse()
+        payload = json.loads(resp.read())
+        assert resp.status == 200
+        assert payload["stats"]["n_points_evaluated"] == 9 ** 3
+        assert isinstance(payload["obj"], str)
+
+        conn.request("POST", "/reconstruct", body=b"not an image")
+        resp = conn.getresponse()
+        resp.read()
+        assert resp.status == 400
+        conn.request("GET", "/nope")
+        resp = conn.getresponse()
+        resp.read()
+        assert resp.status == 404
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_serve_rejects_gtslice():
+    sys.path.insert(0, ROOT)
+    try:
+        import serve
+    finally:
+        sys.path.remove(ROOT)
+    from slice3d_tpu.config import Options
+
+    with pytest.raises(SystemExit):
+        serve.build_service(Options(name_model="gtslice", random_init=True))
