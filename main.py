@@ -234,6 +234,8 @@ def run_vae_finetune(cfg, args):
         kl_weight=float(lossp.get("kl_weight", 1e-6)),
         disc_start=int(lossp.get("disc_start", 50001)),
         disc_weight=float(lossp.get("disc_weight", 0.5)),
+        disc_n_layers=(int(lossp["disc_num_layers"])
+                       if "disc_num_layers" in lossp else None),
         vae_ch=int(dd.get("ch", 128)),
         vae_mult=tuple(dd.get("ch_mult", (1, 2, 4, 4))),
         vae_nres=int(dd.get("num_res_blocks", 2)),

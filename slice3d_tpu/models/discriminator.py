@@ -21,6 +21,7 @@ from .layers import BatchNorm
 
 __all__ = [
     "NLayerDiscriminator",
+    "patchgan_logits_size",
     "hinge_d_loss",
     "generator_loss",
     "adaptive_disc_weight",
@@ -52,6 +53,22 @@ class NLayerDiscriminator(nn.Module):
             h = nn.leaky_relu(h, 0.2)
         return nn.Conv(1, (4, 4), padding=[(1, 1), (1, 1)], dtype=self.dtype,
                        name="conv_out")(h)
+
+
+def patchgan_logits_size(img_size: int, n_layers: int = 3) -> int:
+    """Spatial size of ``NLayerDiscriminator`` logits for a square input.
+
+    Every conv is k=4 p=1; strides are 2 except the last body conv and
+    conv_out.  A non-positive return means the patch hierarchy collapsed
+    (input too small for ``n_layers``) and the logits tensor would be
+    EMPTY — mean-reducing it yields NaN, so callers must shrink
+    ``n_layers`` first.
+    """
+    s = (img_size - 2) // 2 + 1  # conv0, stride 2
+    for i in range(1, n_layers + 1):
+        stride = 2 if i < n_layers else 1
+        s = (s - 2) // stride + 1
+    return s - 1  # conv_out, stride 1
 
 
 def hinge_d_loss(logits_real: jnp.ndarray, logits_fake: jnp.ndarray) -> jnp.ndarray:

@@ -28,6 +28,7 @@ from ..models.discriminator import (
     adaptive_disc_weight,
     generator_loss,
     hinge_d_loss,
+    patchgan_logits_size,
 )
 from ..models.lpips import lpips_distance
 from ..models.perceptual import perceptual_loss
@@ -57,6 +58,7 @@ class VAEFinetuneTrainer:
         disc_start: int = 50001,
         disc_factor: float = 1.0,
         disc_weight: float = 0.5,
+        disc_n_layers: int | None = None,
         vae_ch: int = 128,
         vae_mult=(1, 2, 4, 4),
         vae_nres: int = 2,
@@ -64,8 +66,22 @@ class VAEFinetuneTrainer:
         lpips_params=None,
     ):
         self.vae = AutoencoderKL(ch=vae_ch, ch_mult=vae_mult, num_res_blocks=vae_nres)
-        self.disc = NLayerDiscriminator(train_bn=True)
-        self.eval_disc = NLayerDiscriminator(train_bn=False)
+        # Auto-shrink the PatchGAN depth for small images: at the reference
+        # operating point (128^2) the standard 3-layer disc emits 14^2
+        # logits, but below ~30 px the hierarchy collapses to an EMPTY
+        # logits tensor whose mean is silently NaN.
+        if disc_n_layers is None:
+            disc_n_layers = 3
+            while disc_n_layers > 1 and patchgan_logits_size(
+                    img_size, disc_n_layers) < 1:
+                disc_n_layers -= 1
+        if patchgan_logits_size(img_size, disc_n_layers) < 1:
+            raise ValueError(
+                f"img_size={img_size} too small for a "
+                f"{disc_n_layers}-layer PatchGAN (empty logits)")
+        self.disc = NLayerDiscriminator(n_layers=disc_n_layers, train_bn=True)
+        self.eval_disc = NLayerDiscriminator(n_layers=disc_n_layers,
+                                             train_bn=False)
         self.img_size = img_size
         self.kl_weight = kl_weight
         self.perceptual_weight = perceptual_weight

@@ -9,6 +9,37 @@ import jax
 from slice3d_tpu.train.train_vae import VAEFinetuneTrainer
 
 
+def test_patchgan_logits_size():
+    """PatchGAN output-size math + the auto-shrink that prevents the
+    empty-logits NaN (mean of a zero-size array) on small test images."""
+    from slice3d_tpu.models.discriminator import (
+        NLayerDiscriminator, patchgan_logits_size)
+
+    # torch PatchGAN at the reference 128^2 point emits 14^2 logits
+    assert patchgan_logits_size(128, 3) == 14
+    # 16^2 collapses to an EMPTY tensor at the standard depth
+    assert patchgan_logits_size(16, 3) == 0
+    assert patchgan_logits_size(16, 2) == 2
+
+    # the formula matches the actual module output shape
+    for size, n in [(128, 3), (32, 3), (16, 2)]:
+        disc = NLayerDiscriminator(n_layers=n)
+        v = disc.init(jax.random.PRNGKey(0),
+                      np.zeros((1, size, size, 3), np.float32))
+        out = disc.apply(v, np.zeros((1, size, size, 3), np.float32))
+        expect = patchgan_logits_size(size, n)
+        assert out.shape[1:3] == (expect, expect)
+
+    # trainer auto-derivation keeps logits non-empty at any image size
+    assert VAEFinetuneTrainer(img_size=16, vae_ch=32, vae_mult=(1, 2),
+                              vae_nres=1).disc.n_layers == 2
+    assert VAEFinetuneTrainer(img_size=128, vae_ch=32, vae_mult=(1, 2),
+                              vae_nres=1).disc.n_layers == 3
+    with pytest.raises(ValueError):
+        VAEFinetuneTrainer(img_size=4, vae_ch=32, vae_mult=(1, 2),
+                           vae_nres=1)
+
+
 @pytest.mark.slow
 def test_vae_finetune_step():
     trainer = VAEFinetuneTrainer(

@@ -82,6 +82,15 @@ def test_vae_finetune_cli(tmp_path, ds_root):
     imgs = os.listdir(run_dir / "images" / "train")
     assert any(i.startswith("inputs") for i in imgs)
     assert any(i.startswith("reconstruction") for i in imgs)
+    # training stayed numerically healthy (guards the empty-PatchGAN-logits
+    # NaN: 16^2 images need the auto-shrunk 2-layer discriminator)
+    import jax
+    import numpy as np
+    from slice3d_tpu.train.checkpoint import restore_checkpoint
+
+    payload = restore_checkpoint(str(run_dir / "checkpoints" / "last.ckpt"))
+    for leaf in jax.tree_util.tree_leaves(payload["params"]):
+        assert np.isfinite(np.asarray(leaf)).all()
 
 
 def test_vae_finetune_resume(tmp_path, ds_root):
