@@ -21,7 +21,12 @@ Endpoints:
                               header either way.
 
 Device access is serialized with a lock (one chip, one program); the
-HTTP layer is threaded so decode/preprocess overlaps device work.
+HTTP layer is threaded so decode/preprocess overlaps device work.  With
+``--mc_batch_size B`` (B > 1) concurrent requests are micro-batched:
+requests arriving within ``--batch_window_ms`` of each other share one
+padded B-object device dispatch (the batched pipeline of
+slice3d_tpu/pipeline.py reconstruct_batch) instead of queueing behind B
+serial single-object programs.
 """
 
 from __future__ import annotations
@@ -55,29 +60,99 @@ def _center_rgba(img):
 
 
 def _mesh_to_obj(mesh) -> str:
-    out = io.StringIO()
-    for v in np.asarray(mesh.vertices, np.float32):
-        out.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
-    for f in np.asarray(mesh.faces, np.int64) + 1:
-        out.write(f"f {f[0]} {f[1]} {f[2]}\n")
-    return out.getvalue()
+    from slice3d_tpu.mesh import obj_string
+
+    return obj_string(mesh)
+
+
+class _PendingRequest:
+    __slots__ = ("feed", "event", "result", "error")
+
+    def __init__(self, feed):
+        self.feed = feed
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
 
 
 class Slice3DService:
-    """Model + Reconstructor resident in memory; thread-safe reconstruct."""
+    """Model + Reconstructor resident in memory; thread-safe reconstruct.
 
-    def __init__(self, opts, recon):
+    When the Reconstructor was built with ``mc_batch_size > 1``,
+    concurrent requests are MICRO-BATCHED: the first request opens a
+    collection window (``batch_window_ms``), requests arriving within it
+    ride the same padded ``reconstruct_batch`` dispatch — one compiled
+    shape, chip utilization of the batched pipeline instead of B serial
+    B=1 dispatches.
+    """
+
+    def __init__(self, opts, recon, batch_window_ms: float = 10.0):
         self.opts = opts
         self.recon = recon
         self._lock = threading.Lock()
         from slice3d_tpu import camera
 
-        _, proj = camera.camera_matrices(0.0, 0.0, 1.2)
+        # Identity camera (az=el=0, dist 1.2), the same convention
+        # create_dataset_sin_img.py synthesizes for single-image input.
+        rot, proj = camera.camera_matrices(0.0, 0.0, 1.2)
+        self._rot = rot.astype(np.float32)
         self._proj = proj.astype(np.float32)
+        self._full_proj = camera.full_projection_matrix(
+            0.0, 0.0, 1.2).astype(np.float32)
+
+        self.batch_size = max(1, int(getattr(recon, "batch_size", 1)))
+        self.batch_window_s = float(batch_window_ms) / 1e3
+        self._queue = None
+        self._worker = None
+        if self.batch_size > 1:
+            import queue as _queue
+
+            self._queue = _queue.Queue()
+            self._worker = threading.Thread(target=self._batch_loop,
+                                            daemon=True)
+            self._worker.start()
 
     def warmup(self):
         img = np.zeros((self.opts.img_size, self.opts.img_size, 3), np.float32)
-        self.reconstruct_array(img)
+        if self.batch_size > 1:
+            # compile the padded batched shape the worker will dispatch
+            feeds = [self._feed_of(img)] * self.batch_size
+            with self._lock:
+                self.recon.reconstruct_batch(feeds)
+        else:
+            self.reconstruct_array(img)
+
+    # -- micro-batching ---------------------------------------------------
+
+    def _batch_loop(self):
+        import queue as _queue
+        import time as _time
+
+        while True:
+            group = [self._queue.get()]
+            deadline = _time.monotonic() + self.batch_window_s
+            while len(group) < self.batch_size:
+                remaining = deadline - _time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    group.append(self._queue.get(timeout=remaining))
+                except _queue.Empty:
+                    break
+            feeds = [p.feed for p in group]
+            # pad the tail so the compiled batch shape stays fixed
+            feeds = feeds + [feeds[-1]] * (self.batch_size - len(feeds))
+            try:
+                with self._lock:
+                    results = self.recon.reconstruct_batch(feeds)
+            except Exception as e:  # surface to every waiter, keep serving
+                for p in group:
+                    p.error = e
+                    p.event.set()
+                continue
+            for p, (mesh, stats) in zip(group, results):
+                p.result = (mesh, stats)
+                p.event.set()
 
     def preprocess(self, img_bytes: bytes, center: bool = True) -> np.ndarray:
         from PIL import Image
@@ -90,9 +165,25 @@ class Slice3DService:
         return preprocess_image(img, self.opts.img_size,
                                 self.opts.use_white_bg)
 
+    def _feed_of(self, img: np.ndarray):
+        feed = {"img_input": img.astype(np.float32)}
+        if self.opts.name_model == "disn":
+            # DISN projects canonical points with the full camera matrix
+            feed["trans_mat_right"] = self._full_proj
+            feed["obj_rot_mat"] = self._rot
+        else:
+            feed["trans_mat_wo_rot_tp"] = self._proj
+        return feed
+
     def reconstruct_array(self, img: np.ndarray):
-        feed = {"img_input": img.astype(np.float32),
-                "trans_mat_wo_rot_tp": self._proj}
+        feed = self._feed_of(img)
+        if self._queue is not None:
+            pending = _PendingRequest(feed)
+            self._queue.put(pending)
+            pending.event.wait()
+            if pending.error is not None:
+                raise pending.error
+            return pending.result
         with self._lock:
             return self.recon.reconstruct(feed)
 
@@ -104,7 +195,7 @@ class Slice3DService:
         }
 
 
-def build_service(opts) -> Slice3DService:
+def build_service(opts, batch_window_ms: float = 10.0) -> Slice3DService:
     if opts.name_model not in ("slicenet", "disn"):
         raise SystemExit(
             "serve.py needs a single-image model (slicenet or disn); the "
@@ -128,8 +219,9 @@ def build_service(opts) -> Slice3DService:
         simplify_nfaces=opts.simplify_nfaces,
         refine_steps=opts.mc_refine_steps,
         extract_method=opts.mc_extract,
+        batch_size=opts.mc_batch_size,
     )
-    return Slice3DService(opts, recon)
+    return Slice3DService(opts, recon, batch_window_ms=batch_window_ms)
 
 
 def make_handler(service: Slice3DService):
@@ -152,7 +244,9 @@ def make_handler(service: Slice3DService):
             o = service.opts
             info = {"ok": True, "model": o.name_model,
                     "img_size": o.img_size, "mc_res0": o.mc_res0,
-                    "mc_up_steps": o.mc_up_steps}
+                    "mc_up_steps": o.mc_up_steps,
+                    "batch_size": service.batch_size,
+                    "batch_window_ms": service.batch_window_s * 1e3}
             self._send(200, json.dumps(info).encode(), "application/json")
 
         def do_POST(self):
@@ -180,6 +274,9 @@ def main(argv=None):
     parser = argparse.ArgumentParser(add_help=False)
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--batch_window_ms", type=float, default=10.0,
+                        help="micro-batch collection window when "
+                             "--mc_batch_size > 1")
     srv_args, rest = parser.parse_known_args(argv)
 
     from slice3d_tpu.config import options_from_args
@@ -187,7 +284,7 @@ def main(argv=None):
 
     enable_compilation_cache()
     opts = options_from_args(rest)
-    service = build_service(opts)
+    service = build_service(opts, batch_window_ms=srv_args.batch_window_ms)
     print("compiling warmup reconstruction ...", flush=True)
     service.warmup()
 

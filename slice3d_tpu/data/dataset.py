@@ -107,6 +107,7 @@ class Slice3DDataset:
         }[self.from_which_slices]
         self.dir_img_slices = os.path.join(self.root, slices_dir)
         self.dir_sdf = os.path.join(self.root, "02_sdfs")
+        self._raw_hw = None  # first raw resolution seen (uniformity check)
 
     def __len__(self) -> int:
         return len(self.files)
@@ -166,13 +167,27 @@ class Slice3DDataset:
     # -- sample assembly ---------------------------------------------------
 
     def load_raw_rgba(self, path: str) -> np.ndarray:
-        """(H, W, 4) uint8 for the device-side preprocess path."""
+        """(H, W, 4) uint8 for the device-side preprocess path.
+
+        Raw images are stacked/batched before the on-device resize, so
+        every source PNG must share one resolution; the host path resized
+        per image and tolerated mixed sizes.  Fail with the offending
+        file instead of a bare np.stack shape error mid-epoch.
+        """
         arr = np.asarray(load_image(path))
         if arr.ndim == 2:
             arr = np.stack([arr] * 3 + [np.full_like(arr, 255)], axis=-1)
         if arr.shape[-1] == 3:
             arr = np.concatenate(
                 [arr, np.full_like(arr[..., :1], 255)], axis=-1)
+        if self._raw_hw is None:
+            self._raw_hw = arr.shape[:2]
+        elif arr.shape[:2] != self._raw_hw:
+            raise ValueError(
+                f"device_preprocess needs uniform source resolutions: "
+                f"{path} is {arr.shape[:2]}, dataset started with "
+                f"{self._raw_hw} (resize the renders or disable "
+                f"device_preprocess)")
         return np.ascontiguousarray(arr, np.uint8)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:

@@ -20,29 +20,43 @@ from . import metrics as _metrics
 __all__ = ["best_fit_transform", "icp"]
 
 
+_nn_idx_jit = None
+
+
 def _nearest_indices(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Index into b of the nearest neighbor of each point of a."""
-    import jax
-    import jax.numpy as jnp
+    """Index into b of the nearest neighbor of each point of a.
 
-    @jax.jit
-    def nn_idx(a, b):
-        b_sq = jnp.sum(b * b, axis=1)
+    The jitted kernel lives at module scope: every ICP iteration calls
+    this with the same shapes, so a per-call ``jax.jit`` would recompile
+    each time (fresh function object = fresh compile cache).
+    """
+    global _nn_idx_jit
+    if _nn_idx_jit is None:
+        import jax
+        import jax.numpy as jnp
 
-        def body(carry, a_chunk):
-            d = (jnp.sum(a_chunk * a_chunk, axis=1, keepdims=True)
-                 - 2.0 * a_chunk @ b.T + b_sq[None, :])
-            return carry, jnp.argmin(d, axis=1)
+        @jax.jit
+        def nn_idx(a, b):
+            b_sq = jnp.sum(b * b, axis=1)
 
-        chunk = 4096
-        n = a.shape[0]
-        n_chunks = (n + chunk - 1) // chunk
-        a_pad = jnp.pad(a, ((0, n_chunks * chunk - n), (0, 0)))
-        _, idx = jax.lax.scan(body, None, a_pad.reshape(n_chunks, chunk, 3))
-        return idx.reshape(-1)[:n]
+            def body(carry, a_chunk):
+                d = (jnp.sum(a_chunk * a_chunk, axis=1, keepdims=True)
+                     - 2.0 * a_chunk @ b.T + b_sq[None, :])
+                return carry, jnp.argmin(d, axis=1)
 
-    return np.asarray(nn_idx(np.asarray(a, np.float32),
-                             np.asarray(b, np.float32)))
+            _, idx = jax.lax.scan(body, None, a)
+            return idx.reshape(-1)
+
+        _nn_idx_jit = nn_idx
+
+    chunk = 4096
+    a = np.asarray(a, np.float32)
+    n = a.shape[0]
+    n_chunks = (n + chunk - 1) // chunk
+    a_pad = np.pad(a, ((0, n_chunks * chunk - n), (0, 0)))
+    idx = np.asarray(_nn_idx_jit(a_pad.reshape(n_chunks, chunk, 3),
+                                 np.asarray(b, np.float32)))
+    return idx[:n]
 
 
 def best_fit_transform(a: np.ndarray, b: np.ndarray

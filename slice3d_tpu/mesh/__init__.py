@@ -21,7 +21,8 @@ import numpy as np
 
 __all__ = [
     "Mesh", "isosurface", "refine_level", "simplify_mesh",
-    "points_inside_mesh", "voxelize_mesh", "export_obj", "load_library",
+    "points_inside_mesh", "voxelize_mesh", "obj_string", "export_obj",
+    "load_library",
 ]
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
@@ -223,10 +224,19 @@ def voxelize_mesh(mesh: Mesh, resolution: int) -> np.ndarray:
     return occ.astype(bool)
 
 
+def obj_string(mesh: Mesh) -> str:
+    """Serialize a mesh as Wavefront OBJ text (1-indexed faces)."""
+    import io as _io
+
+    out = _io.StringIO()
+    for v in mesh.vertices:
+        out.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+    for tri in mesh.faces + 1:
+        out.write(f"f {tri[0]} {tri[1]} {tri[2]}\n")
+    return out.getvalue()
+
+
 def export_obj(mesh: Mesh, path: str) -> None:
     """Write a mesh as Wavefront OBJ (1-indexed faces)."""
     with open(path, "w") as f:
-        for v in mesh.vertices:
-            f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
-        for tri in mesh.faces + 1:
-            f.write(f"f {tri[0]} {tri[1]} {tri[2]}\n")
+        f.write(obj_string(mesh))

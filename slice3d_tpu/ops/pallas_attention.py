@@ -99,10 +99,16 @@ def _make_attention(scale: float, block_q: int, interpret: bool):
 
     def bwd(res, do):
         q, k, v = res
-        logits = jnp.einsum("bhtd,bhsd->bhts", q, k).astype(jnp.float32)
+        # fp32 ACCUMULATION (not just an fp32 cast of bf16 products):
+        # the forward kernel computes logits with
+        # preferred_element_type=f32, so the recomputed probs here must
+        # match or the VJP is inconsistent with the primal.
+        logits = jnp.einsum("bhtd,bhsd->bhts", q, k,
+                            preferred_element_type=jnp.float32)
         p = jax.nn.softmax(logits * scale, axis=-1)
         dv = jnp.einsum("bhts,bhtd->bhsd", p.astype(do.dtype), do)
-        dp = jnp.einsum("bhtd,bhsd->bhts", do, v).astype(jnp.float32)
+        dp = jnp.einsum("bhtd,bhsd->bhts", do, v,
+                        preferred_element_type=jnp.float32)
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
         ds = ds.astype(q.dtype)
         dq = jnp.einsum("bhts,bhsd->bhtd", ds, k)

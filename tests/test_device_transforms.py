@@ -70,3 +70,24 @@ def test_raw_dataset_and_loader(root):
     np.testing.assert_allclose(
         np.asarray(batch["img_slices"][1]), ds_host[1]["img_slices"],
         atol=1e-6)
+
+
+def test_raw_mixed_resolution_rejected(tmp_path):
+    """Raw (pre-resize) feeds are stacked, so a dataset with one odd-sized
+    PNG must fail with a message naming the file, not a bare np.stack
+    shape error mid-epoch."""
+    root = create_synthetic_dataset(str(tmp_path / "mix"), n_shapes=1,
+                                    n_views=6, img_size=16, n_sdf=32)
+    ds = Slice3DDataset(root, split="val", img_size=16, n_qry=8, n_views=6,
+                        device_preprocess=True)
+    _ = ds[0]  # uniform so far
+
+    import glob as _glob
+    import os as _os
+
+    # val split reads the fixed view 004; poison one of its slice PNGs
+    odd = sorted(_glob.glob(_os.path.join(root, "01_img_slices", "*", "004",
+                                          "*.png")))[0]
+    Image.new("RGBA", (24, 24), (255, 0, 0, 255)).save(odd)
+    with pytest.raises(ValueError, match="uniform source resolutions"):
+        ds[0]

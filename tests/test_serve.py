@@ -82,6 +82,75 @@ def test_serve_reconstruct_http():
         server.server_close()
 
 
+@pytest.mark.slow
+def test_serve_microbatch():
+    """Concurrent requests within the collection window share ONE padded
+    reconstruct_batch dispatch (mc_batch_size=2)."""
+    sys.path.insert(0, ROOT)
+    try:
+        import serve
+    finally:
+        sys.path.remove(ROOT)
+    from slice3d_tpu.config import Options
+
+    opts = Options(name_model="slicenet", img_size=32, random_init=True,
+                   mc_res0=8, mc_up_steps=0, mc_chunk_size=1024,
+                   mc_batch_size=2)
+    service = serve.build_service(opts, batch_window_ms=1000.0)
+    assert service.batch_size == 2
+
+    calls = []
+    orig = service.recon.reconstruct_batch
+
+    def counted(feeds):
+        calls.append(len(feeds))
+        return orig(feeds)
+
+    service.recon.reconstruct_batch = counted
+    service.warmup()
+    assert calls == [2]  # warmup compiles the padded batched shape
+
+    body = _png_bytes()
+    results = [None, None]
+
+    def run(i):
+        results[i] = service.reconstruct(body)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert all(r is not None for r in results)
+    # both requests rode a single batched dispatch (padded to 2)
+    assert calls == [2, 2]
+    obj, stats = results[0]
+    assert stats["n_points_evaluated"] == 9 ** 3
+    for line in obj.splitlines():
+        assert line.startswith(("v ", "f "))
+
+
+@pytest.mark.slow
+def test_serve_disn_feed():
+    """The DISN route builds its full-projection feed (trans_mat_right +
+    obj_rot_mat) — it used to KeyError at warmup."""
+    sys.path.insert(0, ROOT)
+    try:
+        import serve
+    finally:
+        sys.path.remove(ROOT)
+    from slice3d_tpu.config import Options
+
+    opts = Options(name_model="disn", img_size=32, random_init=True,
+                   mc_res0=8, mc_up_steps=0, mc_chunk_size=1024)
+    service = serve.build_service(opts)
+    service.warmup()
+    obj, stats = service.reconstruct(_png_bytes())
+    assert stats["n_points_evaluated"] == 9 ** 3
+    for line in obj.splitlines():
+        assert line.startswith(("v ", "f "))
+
+
 def test_serve_rejects_gtslice():
     sys.path.insert(0, ROOT)
     try:
