@@ -36,7 +36,7 @@ def load_obj(path: str) -> Mesh:
     )
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--name_exp", type=str, required=True)
     p.add_argument("--name_dataset", type=str, default="objaverse")
@@ -47,8 +47,12 @@ def main():
                         "against 02_sdfs surface-band samples")
     p.add_argument("--n_pts", type=int, default=100000)
     p.add_argument("--f_threshold", type=float, default=0.01)
+    p.add_argument("--icp_align", action="store_true",
+                   help="rigidly align predicted points onto GT with ICP "
+                        "before scoring (reference src_convonet/utils/icp.py "
+                        "use case: frames known only up to a rigid transform)")
     p.add_argument("--out", type=str, default="")
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     root = os.path.join(args.dir_data, args.name_dataset)
     res_dir = os.path.join(args.dir_experiments, args.name_exp, "results",
@@ -68,10 +72,23 @@ def main():
             continue
         pred_pts = sample_mesh_surface(pred.vertices, pred.faces, args.n_pts)
 
+        def align_to(gt_pts):
+            """ICP-align the prediction (points AND mesh) onto GT."""
+            nonlocal pred, pred_pts
+            from slice3d_tpu.eval.icp import icp
+
+            tm, _, _ = icp(pred_pts, gt_pts)
+            r, t = tm[:3, :3], tm[:3, 3]
+            pred_pts = (pred_pts @ r.T + t).astype(np.float32)
+            pred = Mesh(vertices=(pred.vertices @ r.T + t).astype(np.float32),
+                        faces=pred.faces)
+
         row = {"id": sid}
         if args.dir_gt_meshes:
             gt = load_obj(os.path.join(args.dir_gt_meshes, f"{sid}.obj"))
             gt_pts = sample_mesh_surface(gt.vertices, gt.faces, args.n_pts, seed=1)
+            if args.icp_align:
+                align_to(gt_pts)
             row.update(chamfer_metrics(pred_pts, gt_pts, args.f_threshold))
             row["hausdorff"] = hausdorff_distance(pred_pts, gt_pts)
             # IoU at uniform volume samples
@@ -87,6 +104,8 @@ def main():
             if len(gt_pts) < 10:
                 print(f"skip {sid}: no surface-band GT samples")
                 continue
+            if args.icp_align:
+                align_to(gt_pts)
             row.update(chamfer_metrics(pred_pts, gt_pts, args.f_threshold))
             occ_gt = sdf[:, 3] <= 0
             occ_pred = points_inside_mesh(pred, sdf[:, :3].astype(np.float32))
@@ -94,6 +113,7 @@ def main():
         rows.append(row)
         print(row)
 
+    summary = None
     if rows:
         keys = [k for k in rows[0] if k != "id"]
         summary = {k: float(np.mean([r[k] for r in rows])) for k in keys}
@@ -102,6 +122,7 @@ def main():
         if args.out:
             with open(args.out, "w") as f:
                 json.dump({"per_shape": rows, "mean": summary}, f, indent=2)
+    return summary
 
 
 if __name__ == "__main__":

@@ -100,3 +100,41 @@ def test_icp_recovers_rigid_transform():
     aligned = pts @ tm[:3, :3].T + tm[:3, 3]
     assert float(np.abs(aligned - dst).max()) < 1e-4
     assert float(dists.mean()) < 1e-4
+
+
+def test_eval_runner_icp_align(tmp_path):
+    """eval.py --icp_align drives ICP inside the runner: a rigidly
+    transformed result mesh scores near-zero Chamfer after alignment and
+    much worse without it."""
+    import eval as eval_runner
+    from slice3d_tpu.mesh import Mesh, export_obj
+
+    # GT: a tetrahedron-ish mesh; result: the same mesh rotated + shifted
+    verts = np.array([[0, 0, 0], [0.3, 0, 0], [0, 0.3, 0], [0, 0, 0.3]],
+                     np.float32)
+    faces = np.array([[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]], np.int64)
+    ang = 0.2
+    r = np.array([[np.cos(ang), -np.sin(ang), 0.0],
+                  [np.sin(ang), np.cos(ang), 0.0],
+                  [0.0, 0.0, 1.0]], np.float32)
+    moved = Mesh(vertices=verts @ r.T + np.float32([0.05, -0.03, 0.02]),
+                 faces=faces)
+
+    root = tmp_path / "data" / "tiny"
+    (root / "03_splits").mkdir(parents=True)
+    (root / "03_splits" / "test.lst").write_text("00000\n")
+    gt_dir = tmp_path / "gt"
+    gt_dir.mkdir()
+    export_obj(Mesh(vertices=verts, faces=faces), str(gt_dir / "00000.obj"))
+    res_dir = tmp_path / "experiments" / "e" / "results" / "tiny"
+    res_dir.mkdir(parents=True)
+    export_obj(moved, str(res_dir / "00000.obj"))
+
+    common = ["--name_exp", "e", "--name_dataset", "tiny",
+              "--dir_data", str(tmp_path / "data"),
+              "--dir_experiments", str(tmp_path / "experiments"),
+              "--dir_gt_meshes", str(gt_dir), "--n_pts", "10000"]
+    raw = eval_runner.main(common)
+    aligned = eval_runner.main(common + ["--icp_align"])
+    assert aligned["chamfer_l1"] < raw["chamfer_l1"] * 0.2
+    assert aligned["chamfer_l1"] < 5e-3
