@@ -25,7 +25,7 @@ import jax
 from slice3d_tpu.data.ldm_data import LDMSliceDataset
 from slice3d_tpu.data.pipeline import BatchLoader
 from slice3d_tpu.diffusion.latent import LatentDiffusion
-from slice3d_tpu.train.checkpoint import latest_checkpoint
+from slice3d_tpu.train.checkpoint import latest_checkpoint, wait_pending
 from slice3d_tpu.train.train_ldm import LDMTrainer
 from slice3d_tpu.utils.montage import slices_to_montage, save_image, to_uint8
 
@@ -47,6 +47,8 @@ def get_parser():
     p.add_argument("--log_images_every", type=int, default=2000)
     p.add_argument("--val_every", type=int, default=2000)
     p.add_argument("--ddim_steps", type=int, default=200)
+    p.add_argument("--ckpt_backend", type=str, default="msgpack",
+                   choices=["msgpack", "orbax", "orbax_async"])
     p.add_argument("--ddim_eta", type=float, default=1.0)
     return p
 
@@ -122,7 +124,8 @@ def is_autoencoder_target(cfg) -> bool:
     return "autoencoder" in target.lower()
 
 
-def build_module_and_trainer(cfg, scale_lr: bool):
+def build_module_and_trainer(cfg, scale_lr: bool,
+                             ckpt_backend: str = "msgpack"):
     mp = (cfg.get("model") or {}).get("params") or {}
     unet = (mp.get("unet_config") or {}).get("params") or {}
     dd = ((mp.get("first_stage_config") or {}).get("params") or {}).get("ddconfig") or {}
@@ -168,6 +171,7 @@ def build_module_and_trainer(cfg, scale_lr: bool):
         # (reference ddpm.py:562-565, 1431-1441)
         scheduler_config=mp.get("scheduler_config"),
         learn_logvar=bool(mp.get("learn_logvar", False)),
+        ckpt_backend=ckpt_backend,
     )
     return module, trainer, img_size, bs
 
@@ -344,9 +348,11 @@ def run_vae_finetune(cfg, args):
                                os.path.join(img_dir, f"reconstruction_gs-{step:06}.png"))
                 if args.max_steps > 0 and step >= args.max_steps:
                     trainer.save(state, os.path.join(ckpt_dir, "last.ckpt"))
+                    wait_pending()
                     return
     except (Exception, KeyboardInterrupt):
         trainer.save(state, os.path.join(ckpt_dir, "last.ckpt"))
+        wait_pending()
         print(f"saved emergency checkpoint at step {step}")
         raise
 
@@ -362,7 +368,8 @@ def main(argv=None):
     if args.train and is_autoencoder_target(cfg):
         return run_vae_finetune(cfg, args)
 
-    module, trainer, img_size, bs = build_module_and_trainer(cfg, scale_lr)
+    module, trainer, img_size, bs = build_module_and_trainer(
+        cfg, scale_lr, ckpt_backend=args.ckpt_backend)
     state = trainer.init_state(args.seed)
 
     # resume: -r may be a logdir or a ckpt file
@@ -479,9 +486,11 @@ def main(argv=None):
                                    os.path.join(img_dir, f"samples_gs-{step:06}.png"))
                     if args.max_steps > 0 and step >= args.max_steps:
                         trainer.save(state, os.path.join(ckpt_dir, "last.ckpt"))
+                        wait_pending()
                         return
         except (Exception, KeyboardInterrupt):
             trainer.save(state, os.path.join(ckpt_dir, "last.ckpt"))
+            wait_pending()
             print(f"saved emergency checkpoint at step {step}")
             raise
     else:

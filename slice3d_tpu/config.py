@@ -74,6 +74,9 @@ class Options:
     # ship raw uint8 RGBA and composite/resize/normalize on device
     # (3x less host->device traffic; data/device_transforms.py)
     device_preprocess: bool = False
+    # checkpoint format: msgpack (single file, host-gathered) | orbax
+    # (sharded directory) | orbax_async (sharded + non-blocking save)
+    ckpt_backend: str = "msgpack"
     vgg19_ckpt: str = ""  # torch vgg19 weights for the perceptual loss
     random_init: bool = False  # run with random weights (benchmarks/smoke)
     dir_experiments: str = "experiments"

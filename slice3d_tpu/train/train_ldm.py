@@ -67,6 +67,7 @@ class LDMTrainer:
         scheduler_config: Optional[Dict[str, Any]] = None,
         learn_logvar: bool = False,
         cond_train_bn: bool = True,
+        ckpt_backend: str = "msgpack",
         mesh=None,
     ):
         self.module = module if module is not None else LatentDiffusion(
@@ -79,6 +80,7 @@ class LDMTrainer:
         )
         self.img_size = img_size
         self.batch_size = batch_size
+        self.ckpt_backend = ckpt_backend
         self.use_ema = use_ema
         self.scale_by_std = scale_by_std
         self.loss_type = loss_type
@@ -340,7 +342,8 @@ class LDMTrainer:
         }
 
     def save(self, state: LDMTrainState, path: str) -> str:
-        return save_checkpoint(path, self.state_payload(state))
+        return save_checkpoint(path, self.state_payload(state),
+                               backend=self.ckpt_backend)
 
     def restore(self, state: LDMTrainState, path: str) -> LDMTrainState:
         target = {

@@ -31,7 +31,8 @@ from ..models.gtslice import GTSliceModel
 from ..models.slicenet import SliceNetModel
 from ..models.perceptual import perceptual_loss
 from ..parallel import create_mesh, put_batch
-from .checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+from .checkpoint import (latest_checkpoint, restore_checkpoint,
+                         save_checkpoint, wait_pending)
 
 __all__ = ["TrainState", "RegressionTrainer", "make_lr_schedule"]
 
@@ -217,7 +218,9 @@ class RegressionTrainer:
             "n_epoch": epoch,
             "n_iter": int(state.step),
         }
-        return save_checkpoint(os.path.join(dir_ckpt, name), payload)
+        return save_checkpoint(os.path.join(dir_ckpt, name), payload,
+                               backend=getattr(self.opts, "ckpt_backend",
+                                               "msgpack"))
 
     def restore(self, state: TrainState, path: str) -> Tuple[TrainState, int]:
         payload = restore_checkpoint(
@@ -318,6 +321,7 @@ def train(opts: Options, *, max_steps: Optional[int] = None) -> None:
                     writer.add_scalar("Loss/train", float(logs["loss_pred"]), step)
                     writer.add_scalar("Acc/train", float(logs["acc"]), step)
             if max_steps is not None and step >= max_steps:
+                wait_pending()  # flush any in-flight async ckpt writes
                 return
         if epoch % opts.freq_ckpt == 0:
             metrics = trainer.eval_epoch(state, val_loader)
@@ -328,3 +332,6 @@ def train(opts: Options, *, max_steps: Optional[int] = None) -> None:
                 writer.add_scalar("Loss/val", metrics.get("loss_pred", 0), int(state.step))
                 writer.add_scalar("Acc/val", metrics.get("acc", 0), int(state.step))
             trainer.save(state, dir_ckpt, epoch, metrics)
+    # async ckpt writes must land before the process starts tearing down
+    # (orbax cannot schedule worker threads during interpreter shutdown)
+    wait_pending()
