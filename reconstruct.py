@@ -118,16 +118,20 @@ def main(argv=None):
         cam_predict = _build_campose_predictor(opts)
 
     # mc_batch_size > 1 pools objects per device dispatch; with multiple
-    # chips the batch also shards over the mesh's data axis.
+    # chips either the object batch (throughput) or each object's query
+    # point axis (latency, --mc_shard_axis points) shards over the mesh.
     mesh = None
     batch = max(opts.mc_batch_size, 1)
     import jax
 
-    if batch > 1 and len(jax.devices()) > 1:
+    n_dev = len(jax.devices())
+    if n_dev > 1:
         from slice3d_tpu.parallel import create_mesh
 
-        n_dev = len(jax.devices())
-        if batch % n_dev == 0:
+        if opts.mc_shard_axis == "points":
+            if opts.mc_chunk_size % n_dev == 0:
+                mesh = create_mesh((n_dev, 1))
+        elif batch > 1 and batch % n_dev == 0:
             mesh = create_mesh((n_dev, 1))
 
     recon = Reconstructor(
@@ -142,6 +146,7 @@ def main(argv=None):
         batch_size=batch,
         mesh=mesh,
         extract_method=opts.mc_extract,
+        shard_axis=opts.mc_shard_axis,
     )
 
     out_dir = os.path.join(opts.exp_dir, "results", opts.name_dataset)

@@ -60,6 +60,10 @@ class Options:
     simplify_nfaces: int = 0  # 0 = no simplification
     mc_refine_steps: int = 0  # refine_mesh RMSprop iterations (0 = off)
     mc_batch_size: int = 1  # objects per device dispatch at reconstruction
+    # multi-chip sharding at reconstruction: batch (throughput — objects
+    # over chips) | points (latency — each object's SDF query axis over
+    # chips, works at batch 1)
+    mc_shard_axis: str = "batch"
     # isosurfacer: surface_nets (fast, cell-centroid vertices) or
     # tetrahedra (exact iso-crossing edge vertices, reference MC contract —
     # use for accuracy comparisons against the reference)

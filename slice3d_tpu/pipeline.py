@@ -45,9 +45,14 @@ class Reconstructor:
       resolution0/upsampling_steps/threshold/chunk_size: MISE-compatible
         operating point (reference options.py:45-48).
       batch_size: objects evaluated together per device dispatch.
-      mesh: optional ``jax.sharding.Mesh`` with a ``data`` axis; the object
-        batch is sharded over it (batch_size must be divisible by the data
-        axis size).
+      mesh: optional ``jax.sharding.Mesh`` with a ``data`` axis; what
+        shards over it is picked by ``shard_axis``.
+      shard_axis: ``"batch"`` (throughput: objects shard over the mesh,
+        batch_size must be divisible by the data axis size) or
+        ``"points"`` (latency: the SDF query-point axis of EVERY chunk
+        shards over the mesh with planes replicated — SURVEY §2.5's
+        "shard SDF query chunks"; works at batch_size 1, chunk_size must
+        be divisible by the data axis size).
     """
 
     def __init__(
@@ -67,6 +72,7 @@ class Reconstructor:
         extract_method: str = "surface_nets",
         transport_dtype: str = "float16",
         fuse_levels: bool = False,
+        shard_axis: str = "batch",
     ):
         self.model = model
         self.simplify_nfaces = simplify_nfaces
@@ -83,16 +89,33 @@ class Reconstructor:
             method=extract_method,
         )
 
+        if shard_axis not in ("batch", "points"):
+            raise ValueError(f"unknown shard_axis {shard_axis!r}")
+        self.shard_axis = shard_axis
+        points_spec = None  # sharding constraint for in-jit point chunks
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            if self.batch_size % mesh.shape["data"] != 0:
-                raise ValueError(
-                    f"batch_size {batch_size} not divisible by data axis "
-                    f"size {mesh.shape['data']}")
-            self._sh_batch = NamedSharding(mesh, P("data"))
-            self._sh_chunks = NamedSharding(mesh, P(None, "data"))
             self._sh_repl = NamedSharding(mesh, P())
+            if shard_axis == "points":
+                # latency mode: replicate objects/planes, split each
+                # chunk's POINT axis across the mesh — the query is
+                # pointwise, so GSPMD partitions the gather+head compute
+                # with no collectives beyond the value reassembly
+                if chunk_size % mesh.shape["data"] != 0:
+                    raise ValueError(
+                        f"chunk_size {chunk_size} not divisible by data "
+                        f"axis size {mesh.shape['data']}")
+                self._sh_batch = self._sh_repl
+                self._sh_chunks = NamedSharding(mesh, P(None, None, "data"))
+                points_spec = self._sh_chunks
+            else:
+                if self.batch_size % mesh.shape["data"] != 0:
+                    raise ValueError(
+                        f"batch_size {batch_size} not divisible by data "
+                        f"axis size {mesh.shape['data']}")
+                self._sh_batch = NamedSharding(mesh, P("data"))
+                self._sh_chunks = NamedSharding(mesh, P(None, "data"))
             variables = jax.device_put(variables, self._sh_repl)
         self.variables = variables
 
@@ -256,6 +279,14 @@ class Reconstructor:
 
             def body(carry, idx):
                 idx_b = jnp.broadcast_to(idx[None], (b, idx.shape[0]))
+                if points_spec is not None:
+                    # latency mode: split this chunk's point axis across
+                    # the mesh (the lattice indices are device-generated,
+                    # so the constraint is what shards the compute)
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    idx_b = jax.lax.with_sharding_constraint(
+                        idx_b, NamedSharding(mesh, P(None, "data")))
                 return carry, query_row(variables, enc_q, idx_b,
                                         jnp.int32(n0), extras)
 

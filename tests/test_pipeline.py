@@ -106,6 +106,40 @@ def test_reconstruct_batch_sharded_over_mesh(recon):
                 mesh_s.vertices, ref_mesh.vertices, atol=1e-5)
 
 
+def test_reconstruct_points_sharded_over_mesh(recon):
+    """Latency mode: shard_axis='points' splits each chunk's SDF query
+    axis over the mesh at batch_size 1 (SURVEY §2.5 'shard SDF query
+    chunks'); the mesh must match the single-device result."""
+    from slice3d_tpu.parallel import create_mesh
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs multiple (virtual) devices")
+    mesh = create_mesh((n_dev, 1))
+    model, variables = recon.model, recon.variables
+    sharded = Reconstructor(
+        model, variables, resolution0=8, upsampling_steps=1,
+        chunk_size=1024, batch_size=1, mesh=mesh, shard_axis="points",
+    )
+    feed = make_feed(3)
+    mesh_s, stats = sharded.reconstruct(feed)
+    ref_mesh, ref_stats = recon.reconstruct(feed)
+    assert stats["n_points_evaluated"] == ref_stats["n_points_evaluated"]
+    assert len(mesh_s.vertices) == len(ref_mesh.vertices)
+    if len(mesh_s.vertices):
+        np.testing.assert_allclose(mesh_s.vertices, ref_mesh.vertices,
+                                   atol=1e-5)
+    np.testing.assert_array_equal(mesh_s.faces, ref_mesh.faces)
+
+    # bad configuration fails loudly
+    with pytest.raises(ValueError, match="chunk_size"):
+        Reconstructor(model, variables, resolution0=8, chunk_size=1023,
+                      mesh=mesh, shard_axis="points")
+    with pytest.raises(ValueError, match="shard_axis"):
+        Reconstructor(model, variables, resolution0=8, mesh=mesh,
+                      shard_axis="nope")
+
+
 def test_reconstruct_with_refinement(recon):
     """refine_steps polishes vertices through the model's xyz query path."""
     feed = make_feed(2)
