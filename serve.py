@@ -210,6 +210,22 @@ def build_service(opts, batch_window_ms: float = 10.0) -> Slice3DService:
 
         ckpt_path = os.path.join(opts.exp_dir, "ckpt", opts.name_ckpt)
     variables = load_model_variables(model, opts, ckpt_path)
+
+    # multi-chip host: shard each request's query-point axis (latency,
+    # --mc_shard_axis points) or the micro-batch (throughput) over the mesh
+    import jax
+
+    mesh = None
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        from slice3d_tpu.parallel import create_mesh
+
+        if opts.mc_shard_axis == "points":
+            if opts.mc_chunk_size % n_dev == 0:
+                mesh = create_mesh((n_dev, 1))
+        elif opts.mc_batch_size > 1 and opts.mc_batch_size % n_dev == 0:
+            mesh = create_mesh((n_dev, 1))
+
     recon = Reconstructor(
         model, variables,
         resolution0=opts.mc_res0,
@@ -220,6 +236,8 @@ def build_service(opts, batch_window_ms: float = 10.0) -> Slice3DService:
         refine_steps=opts.mc_refine_steps,
         extract_method=opts.mc_extract,
         batch_size=opts.mc_batch_size,
+        mesh=mesh,
+        shard_axis=opts.mc_shard_axis,
     )
     return Slice3DService(opts, recon, batch_window_ms=batch_window_ms)
 

@@ -131,6 +131,34 @@ def test_serve_microbatch():
 
 
 @pytest.mark.slow
+def test_serve_points_sharded():
+    """--mc_shard_axis points: the service shards each request's query
+    axis over the (virtual) device mesh and still produces a mesh."""
+    sys.path.insert(0, ROOT)
+    try:
+        import serve
+    finally:
+        sys.path.remove(ROOT)
+    import jax
+
+    from slice3d_tpu.config import Options
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple (virtual) devices")
+    opts = Options(name_model="slicenet", img_size=32, random_init=True,
+                   mc_res0=8, mc_up_steps=0, mc_chunk_size=1024,
+                   mc_shard_axis="points")
+    service = serve.build_service(opts)
+    assert service.recon.mesh is not None
+    assert service.recon.shard_axis == "points"
+    service.warmup()
+    obj, stats = service.reconstruct(_png_bytes())
+    assert stats["n_points_evaluated"] == 9 ** 3
+    for line in obj.splitlines():
+        assert line.startswith(("v ", "f "))
+
+
+@pytest.mark.slow
 def test_serve_disn_feed():
     """The DISN route builds its full-projection feed (trans_mat_right +
     obj_rot_mat) — it used to KeyError at warmup."""
