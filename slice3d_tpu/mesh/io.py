@@ -9,7 +9,6 @@ is read and written directly.
 from __future__ import annotations
 
 import os
-import struct
 from typing import List, Tuple
 
 import numpy as np

@@ -145,7 +145,6 @@ def main():
 
 
 def _stacked(recon, feed):
-    import jax.numpy as jnp
 
     imgs, extras = recon._stack_inputs([feed])
     return (imgs,) + extras
