@@ -102,6 +102,12 @@ class Slice3DService:
 
         self.batch_size = max(1, int(getattr(recon, "batch_size", 1)))
         self.batch_window_s = float(batch_window_ms) / 1e3
+        # rolling serving stats, surfaced on /healthz
+        from collections import deque
+
+        self._served = 0
+        self._errors = 0
+        self._lat = deque(maxlen=256)  # seconds, completed requests
         self._queue = None
         self._worker = None
         if self.batch_size > 1:
@@ -188,11 +194,32 @@ class Slice3DService:
             return self.recon.reconstruct(feed)
 
     def reconstruct(self, img_bytes: bytes, center: bool = True):
-        mesh, stats = self.reconstruct_array(self.preprocess(img_bytes, center))
+        import time
+
+        t0 = time.perf_counter()
+        try:
+            mesh, stats = self.reconstruct_array(
+                self.preprocess(img_bytes, center))
+        except Exception:
+            self._errors += 1
+            raise
+        self._lat.append(time.perf_counter() - t0)
+        self._served += 1
         return _mesh_to_obj(mesh), {
             k: v for k, v in stats.items()
             if isinstance(v, (int, float, np.integer, np.floating))
         }
+
+    def serving_stats(self):
+        lat = sorted(self._lat)
+
+        def pct(p):
+            return round(lat[min(int(p * len(lat)), len(lat) - 1)] * 1e3, 1)
+
+        out = {"served": self._served, "errors": self._errors}
+        if lat:
+            out.update(p50_ms=pct(0.5), p90_ms=pct(0.9))
+        return out
 
 
 def build_service(opts, batch_window_ms: float = 10.0) -> Slice3DService:
@@ -264,7 +291,8 @@ def make_handler(service: Slice3DService):
                     "img_size": o.img_size, "mc_res0": o.mc_res0,
                     "mc_up_steps": o.mc_up_steps,
                     "batch_size": service.batch_size,
-                    "batch_window_ms": service.batch_window_s * 1e3}
+                    "batch_window_ms": service.batch_window_s * 1e3,
+                    **service.serving_stats()}
             self._send(200, json.dumps(info).encode(), "application/json")
 
         def do_POST(self):
@@ -311,7 +339,11 @@ def main(argv=None):
     print(f"serving {opts.name_model} on http://{srv_args.host}:"
           f"{server.server_address[1]}  (res0 {opts.mc_res0}, "
           f"up {opts.mc_up_steps})", flush=True)
-    server.serve_forever()
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        print("shutting down")
+        server.server_close()
 
 
 if __name__ == "__main__":

@@ -23,3 +23,10 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # The env vars above are not honored by this JAX build (the 'axon' TPU
 # plugin registers regardless); force the CPU platform via the config API.
 jax.config.update("jax_platforms", "cpu")
+
+# Persist XLA compiles (>1 s) across test runs: the slow tier is mostly
+# compile time on this 1-core host, and the cache keys on HLO hashes so
+# reruns of unchanged programs start hot.
+from slice3d_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()

@@ -73,6 +73,13 @@ def test_serve_reconstruct_http():
         resp = conn.getresponse()
         resp.read()
         assert resp.status == 400
+
+        # serving stats surfaced on /healthz (2 ok above incl. warmup=0,
+        # 1 error just now)
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        assert health["served"] == 2 and health["errors"] == 1
+        assert health["p50_ms"] > 0
         conn.request("GET", "/nope")
         resp = conn.getresponse()
         resp.read()
