@@ -138,6 +138,52 @@ def test_serve_microbatch():
 
 
 @pytest.mark.slow
+def test_serve_microbatch_soak():
+    """12 concurrent requests through a batch-4 window: every request
+    completes, and the dispatch count shows real batching (not 12 B=1
+    dispatches)."""
+    sys.path.insert(0, ROOT)
+    try:
+        import serve
+    finally:
+        sys.path.remove(ROOT)
+    from slice3d_tpu.config import Options
+
+    opts = Options(name_model="slicenet", img_size=32, random_init=True,
+                   mc_res0=8, mc_up_steps=0, mc_chunk_size=1024,
+                   mc_batch_size=4)
+    service = serve.build_service(opts, batch_window_ms=250.0)
+    calls = []
+    orig = service.recon.reconstruct_batch
+
+    def counted(feeds):
+        calls.append(len(feeds))
+        return orig(feeds)
+
+    service.recon.reconstruct_batch = counted
+    service.warmup()
+
+    body = _png_bytes()
+    n = 12
+    results = [None] * n
+
+    def run(i):
+        results[i] = service.reconstruct(body)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert all(r is not None for r in results)
+    dispatches = len(calls) - 1  # minus warmup
+    assert 3 <= dispatches <= 6  # 12 requests in batch-4 dispatches
+    assert service.serving_stats()["served"] == n
+    for obj, stats in results:
+        assert stats["n_points_evaluated"] == 9 ** 3
+
+
+@pytest.mark.slow
 def test_serve_points_sharded():
     """--mc_shard_axis points: the service shards each request's query
     axis over the (virtual) device mesh and still produces a mesh."""
