@@ -176,6 +176,40 @@ int s3d_simplify(const float* verts, int64_t nv, const int64_t* faces,
     if (a == b) continue;
     if (c.version != version[c.u] + version[c.v]) continue;  // stale
 
+    // Link condition: the collapse is manifold-safe iff the common
+    // neighbors of a and b are EXACTLY the vertices opposite the faces
+    // shared by edge (a,b).  Any extra common neighbor means the edge
+    // spans a pinch — collapsing would create non-manifold (4-face)
+    // edges or open boundary edges on a closed surface.
+    {
+      std::unordered_set<int> na, shared_opp;
+      bool safe = true;
+      for (int fi : vfaces[a]) {
+        if (face_dead[fi]) continue;
+        int r[3] = {find(f[fi][0]), find(f[fi][1]), find(f[fi][2])};
+        bool has_b = (r[0] == b || r[1] == b || r[2] == b);
+        for (int j = 0; j < 3; ++j)
+          if (r[j] != a && r[j] != b) {
+            na.insert(r[j]);
+            if (has_b) shared_opp.insert(r[j]);
+          }
+      }
+      size_t common = 0;
+      for (int fi : vfaces[b]) {
+        if (face_dead[fi]) continue;
+        int r[3] = {find(f[fi][0]), find(f[fi][1]), find(f[fi][2])};
+        bool has_a = (r[0] == a || r[1] == a || r[2] == a);
+        if (has_a) continue;  // shared faces counted via shared_opp
+        for (int j = 0; j < 3; ++j)
+          if (r[j] != a && r[j] != b && na.count(r[j])) {
+            na.erase(r[j]);  // count each common neighbor once
+            ++common;
+          }
+      }
+      if (common != shared_opp.size()) safe = false;
+      if (!safe) continue;
+    }
+
     // collapse a into b at c.pos
     parent[a] = b;
     v[b] = c.pos;

@@ -104,3 +104,73 @@ def test_fuzz_closed_and_oriented(method, n):
         if method == "tetrahedra":
             assert count == 1
         assert edges.get((b, a), 0) == count
+
+
+def _random_blob_grid(seed, n=33):
+    """Smooth random field: sum of gaussian blobs, positive inside."""
+    rng = np.random.default_rng(seed)
+    lin = np.linspace(-0.5, 0.5, n, dtype=np.float32)
+    x, y, z = np.meshgrid(lin, lin, lin, indexing="ij")
+    field = np.full((n, n, n), -0.08, np.float32)
+    for _ in range(rng.integers(2, 5)):
+        c = rng.uniform(-0.2, 0.2, 3)
+        s = rng.uniform(0.08, 0.2)
+        d2 = (x - c[0]) ** 2 + (y - c[1]) ** 2 + (z - c[2]) ** 2
+        field += np.exp(-d2 / (2 * s * s)).astype(np.float32) * 0.3
+    # force a closed surface: clamp the volume border outside
+    for axis in range(3):
+        idx = [slice(None)] * 3
+        for edge in (0, -1):
+            idx[axis] = edge
+            field[tuple(idx)] = -0.2
+    return field
+
+
+def _volume(mesh):
+    tris = mesh.vertices[mesh.faces]
+    return abs(np.einsum("ij,ij->i", tris[:, 0],
+                         np.cross(tris[:, 1], tris[:, 2])).sum() / 6.0)
+
+
+def _edge_face_counts(faces):
+    from collections import Counter
+
+    c = Counter()
+    for a, b, cc in faces:
+        for u, v in ((a, b), (b, cc), (cc, a)):
+            c[(min(u, v), max(u, v))] += 1
+    return c
+
+
+def test_simplify_fuzz_invariants():
+    """QEM decimation on random closed blob surfaces: output faces stay
+    valid/watertight, vertices bounded, volume approximately preserved
+    across targets and seeds."""
+    from slice3d_tpu.mesh import isosurface, simplify_mesh
+
+    for seed in range(4):
+        grid = _random_blob_grid(seed)
+        mesh = isosurface(grid, 0.0)
+        if len(mesh.faces) < 400:
+            continue
+        v0 = _volume(mesh)
+        for frac in (0.5, 0.15):
+            target = max(int(len(mesh.faces) * frac), 100)
+            simp = simplify_mesh(mesh, target)
+            assert 0 < len(simp.faces) <= target * 1.2, (seed, frac)
+            f = simp.faces
+            # valid indices, no degenerate faces
+            assert f.min() >= 0 and f.max() < len(simp.vertices)
+            assert ((f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2])
+                    & (f[:, 0] != f[:, 2])).all(), (seed, frac)
+            assert np.isfinite(simp.vertices).all()
+            # stays in the (slightly padded) extraction box
+            assert np.abs(simp.vertices).max() <= grid.shape[0]
+            # closed input stays closed: every edge on exactly 2 faces
+            counts = np.array(list(_edge_face_counts(f).values()))
+            assert (counts == 2).all(), (seed, frac,
+                                         np.unique(counts, return_counts=True))
+            # volume roughly preserved (QEM optimal placement); 85%
+            # decimation of thin-featured blobs is legitimately lossier
+            bound = 0.05 if frac == 0.5 else 0.4
+            assert abs(_volume(simp) - v0) / v0 < bound, (seed, frac)
