@@ -244,6 +244,7 @@ def run_vae_finetune(cfg, args):
         vae_mult=tuple(dd.get("ch_mult", (1, 2, 4, 4))),
         vae_nres=int(dd.get("num_res_blocks", 2)),
         lpips_params=lpips_params,
+        ckpt_backend=args.ckpt_backend,
     )
     state = trainer.init_state(args.seed)
 
@@ -297,7 +298,8 @@ def run_vae_finetune(cfg, args):
         val_loader = None
 
     writer = make_writer(logdir)
-    topk = TopKCheckpointer(ckpt_dir, monitor="val/rec_loss", k=3)
+    topk = TopKCheckpointer(ckpt_dir, monitor="val/rec_loss", k=3,
+                            backend=args.ckpt_backend)
     rng = jax.random.PRNGKey(args.seed)
 
     def flatten_stack(batch):
@@ -420,7 +422,8 @@ def main(argv=None):
         from slice3d_tpu.train.checkpoint import TopKCheckpointer
 
         writer = make_writer(logdir)
-        topk = TopKCheckpointer(ckpt_dir, monitor="val/loss_simple_ema", k=3)
+        topk = TopKCheckpointer(ckpt_dir, monitor="val/loss_simple_ema",
+                                k=3, backend=args.ckpt_backend)
         rng = jax.random.PRNGKey(args.seed)
         t0 = time.time()
         step = int(state.step)

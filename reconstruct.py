@@ -120,19 +120,13 @@ def main(argv=None):
     # mc_batch_size > 1 pools objects per device dispatch; with multiple
     # chips either the object batch (throughput) or each object's query
     # point axis (latency, --mc_shard_axis points) shards over the mesh.
-    mesh = None
     batch = max(opts.mc_batch_size, 1)
     import jax
 
-    n_dev = len(jax.devices())
-    if n_dev > 1:
-        from slice3d_tpu.parallel import create_mesh
+    from slice3d_tpu.parallel import reconstruction_mesh
 
-        if opts.mc_shard_axis == "points":
-            if opts.mc_chunk_size % n_dev == 0:
-                mesh = create_mesh((n_dev, 1))
-        elif batch > 1 and batch % n_dev == 0:
-            mesh = create_mesh((n_dev, 1))
+    mesh = reconstruction_mesh(opts.mc_shard_axis, batch,
+                               opts.mc_chunk_size, len(jax.devices()))
 
     recon = Reconstructor(
         model,

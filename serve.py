@@ -102,9 +102,11 @@ class Slice3DService:
 
         self.batch_size = max(1, int(getattr(recon, "batch_size", 1)))
         self.batch_window_s = float(batch_window_ms) / 1e3
-        # rolling serving stats, surfaced on /healthz
+        # rolling serving stats, surfaced on /healthz (own lock: request
+        # threads append while /healthz probes read)
         from collections import deque
 
+        self._stats_lock = threading.Lock()
         self._served = 0
         self._errors = 0
         self._lat = deque(maxlen=256)  # seconds, completed requests
@@ -201,22 +203,26 @@ class Slice3DService:
             mesh, stats = self.reconstruct_array(
                 self.preprocess(img_bytes, center))
         except Exception:
-            self._errors += 1
+            with self._stats_lock:
+                self._errors += 1
             raise
-        self._lat.append(time.perf_counter() - t0)
-        self._served += 1
+        with self._stats_lock:
+            self._lat.append(time.perf_counter() - t0)
+            self._served += 1
         return _mesh_to_obj(mesh), {
             k: v for k, v in stats.items()
             if isinstance(v, (int, float, np.integer, np.floating))
         }
 
     def serving_stats(self):
-        lat = sorted(self._lat)
+        with self._stats_lock:
+            lat = sorted(self._lat)
+            served, errors = self._served, self._errors
 
         def pct(p):
             return round(lat[min(int(p * len(lat)), len(lat) - 1)] * 1e3, 1)
 
-        out = {"served": self._served, "errors": self._errors}
+        out = {"served": served, "errors": errors}
         if lat:
             out.update(p50_ms=pct(0.5), p90_ms=pct(0.9))
         return out
@@ -242,16 +248,10 @@ def build_service(opts, batch_window_ms: float = 10.0) -> Slice3DService:
     # --mc_shard_axis points) or the micro-batch (throughput) over the mesh
     import jax
 
-    mesh = None
-    n_dev = len(jax.devices())
-    if n_dev > 1:
-        from slice3d_tpu.parallel import create_mesh
+    from slice3d_tpu.parallel import reconstruction_mesh
 
-        if opts.mc_shard_axis == "points":
-            if opts.mc_chunk_size % n_dev == 0:
-                mesh = create_mesh((n_dev, 1))
-        elif opts.mc_batch_size > 1 and opts.mc_batch_size % n_dev == 0:
-            mesh = create_mesh((n_dev, 1))
+    mesh = reconstruction_mesh(opts.mc_shard_axis, opts.mc_batch_size,
+                               opts.mc_chunk_size, len(jax.devices()))
 
     recon = Reconstructor(
         model, variables,

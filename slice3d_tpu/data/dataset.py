@@ -107,7 +107,7 @@ class Slice3DDataset:
         }[self.from_which_slices]
         self.dir_img_slices = os.path.join(self.root, slices_dir)
         self.dir_sdf = os.path.join(self.root, "02_sdfs")
-        self._raw_hw = None  # first raw resolution seen (uniformity check)
+        self._raw_hw = {}  # per-feed first raw resolution (uniformity check)
 
     def __len__(self) -> int:
         return len(self.files)
@@ -166,13 +166,15 @@ class Slice3DDataset:
 
     # -- sample assembly ---------------------------------------------------
 
-    def load_raw_rgba(self, path: str) -> np.ndarray:
+    def load_raw_rgba(self, path: str, group: str = "input") -> np.ndarray:
         """(H, W, 4) uint8 for the device-side preprocess path.
 
-        Raw images are stacked/batched before the on-device resize, so
-        every source PNG must share one resolution; the host path resized
-        per image and tolerated mixed sizes.  Fail with the offending
-        file instead of a bare np.stack shape error mid-epoch.
+        Raw images are stacked/batched per feed key before the on-device
+        resize, so every source PNG within a ``group`` ("input" or
+        "slices" — they may differ from each other) must share one
+        resolution; the host path resized per image and tolerated mixed
+        sizes.  Fail with the offending file instead of a bare np.stack
+        shape error mid-epoch.
         """
         arr = np.asarray(load_image(path))
         if arr.ndim == 2:
@@ -180,13 +182,12 @@ class Slice3DDataset:
         if arr.shape[-1] == 3:
             arr = np.concatenate(
                 [arr, np.full_like(arr[..., :1], 255)], axis=-1)
-        if self._raw_hw is None:
-            self._raw_hw = arr.shape[:2]
-        elif arr.shape[:2] != self._raw_hw:
+        first = self._raw_hw.setdefault(group, arr.shape[:2])
+        if arr.shape[:2] != first:
             raise ValueError(
-                f"device_preprocess needs uniform source resolutions: "
-                f"{path} is {arr.shape[:2]}, dataset started with "
-                f"{self._raw_hw} (resize the renders or disable "
+                f"device_preprocess needs uniform source resolutions per "
+                f"feed: {path} is {arr.shape[:2]}, {group} images started "
+                f"with {first} (resize the renders or disable "
                 f"device_preprocess)")
         return np.ascontiguousarray(arr, np.uint8)
 
@@ -218,7 +219,8 @@ class Slice3DDataset:
                 vdir = os.path.join(self.dir_img_slices, shape_id,
                                     "%03d" % view)
                 feed["img_slices_raw"] = np.stack([
-                    self.load_raw_rgba(os.path.join(vdir, f"{a}_{p}.png"))
+                    self.load_raw_rgba(os.path.join(vdir, f"{a}_{p}.png"),
+                                       group="slices")
                     for a, p in SLICE_ORDER])
             else:
                 feed["img_slices"] = self.load_slice_images(

@@ -42,3 +42,26 @@ def create_mesh(
 
 def default_mesh() -> Mesh:
     return create_mesh()
+
+
+def reconstruction_mesh(shard_axis: str, batch_size: int, chunk_size: int,
+                        n_dev: int):
+    """Mesh-selection policy shared by reconstruct.py and serve.py.
+
+    points: shard each object's query axis (needs chunk_size % n_dev == 0);
+    batch: shard the object batch (needs batch_size > 1 divisible by
+    n_dev).  Returns a Mesh or None; warns when an explicit points
+    request can't be honored rather than silently falling back.
+    """
+    if n_dev <= 1:
+        return None
+    if shard_axis == "points":
+        if chunk_size % n_dev != 0:
+            print(f"warning: --mc_shard_axis points ignored — "
+                  f"mc_chunk_size {chunk_size} not divisible by "
+                  f"{n_dev} devices")
+            return None
+        return create_mesh((n_dev, 1))
+    if batch_size > 1 and batch_size % n_dev == 0:
+        return create_mesh((n_dev, 1))
+    return None

@@ -92,7 +92,7 @@ class Reconstructor:
         if shard_axis not in ("batch", "points"):
             raise ValueError(f"unknown shard_axis {shard_axis!r}")
         self.shard_axis = shard_axis
-        points_spec = None  # sharding constraint for in-jit point chunks
+        shard_points = False  # constrain in-jit point chunks to the mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -108,7 +108,7 @@ class Reconstructor:
                         f"axis size {mesh.shape['data']}")
                 self._sh_batch = self._sh_repl
                 self._sh_chunks = NamedSharding(mesh, P(None, None, "data"))
-                points_spec = self._sh_chunks
+                shard_points = True
             else:
                 if self.batch_size % mesh.shape["data"] != 0:
                     raise ValueError(
@@ -279,7 +279,7 @@ class Reconstructor:
 
             def body(carry, idx):
                 idx_b = jnp.broadcast_to(idx[None], (b, idx.shape[0]))
-                if points_spec is not None:
+                if shard_points:
                     # latency mode: split this chunk's point axis across
                     # the mesh (the lattice indices are device-generated,
                     # so the constraint is what shards the compute)

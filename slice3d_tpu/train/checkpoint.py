@@ -112,10 +112,24 @@ def save_checkpoint(path: str, state: Dict[str, Any],
 
 def restore_checkpoint(path: str, target: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
     """Restore a checkpoint written by :func:`save_checkpoint` (format is
-    auto-detected: orbax checkpoints are directories)."""
+    auto-detected: orbax checkpoints are directories).
+
+    With a ``target``, the orbax path restores THROUGH the target as a
+    template: jax arrays come back with the template's sharding (each
+    device reads its own shards — no host gather), which is the point of
+    the orbax backend for FSDP states.
+    """
     if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
         wait_pending()  # the path may still be being written
-        tree = _orbax_ckptr(False).restore(os.path.abspath(path))
+        ckptr = _orbax_ckptr(False)
+        if target is not None:
+            template = serialization.to_state_dict(target)
+            tree = ckptr.restore(os.path.abspath(path),
+                                 args=ocp.args.StandardRestore(template))
+        else:
+            tree = ckptr.restore(os.path.abspath(path))
     else:
         with open(path, "rb") as f:
             tree = serialization.msgpack_restore(f.read())

@@ -64,6 +64,7 @@ class VAEFinetuneTrainer:
         vae_nres: int = 2,
         vgg19_params=None,
         lpips_params=None,
+        ckpt_backend: str = "msgpack",
     ):
         self.vae = AutoencoderKL(ch=vae_ch, ch_mult=vae_mult, num_res_blocks=vae_nres)
         # Auto-shrink the PatchGAN depth for small images: at the reference
@@ -92,6 +93,7 @@ class VAEFinetuneTrainer:
         self.disc_weight = disc_weight
         self.vgg19_params = vgg19_params
         self.lpips_params = lpips_params
+        self.ckpt_backend = ckpt_backend
         self.tx = optax.adam(lr, b1=0.5, b2=0.9)
         self.tx_d = optax.adam(lr, b1=0.5, b2=0.9)
         self.mesh = create_mesh()
@@ -251,7 +253,8 @@ class VAEFinetuneTrainer:
     def save(self, state: VAETrainState, path: str) -> str:
         from .checkpoint import save_checkpoint
 
-        return save_checkpoint(path, self.state_payload(state))
+        return save_checkpoint(path, self.state_payload(state),
+                               backend=self.ckpt_backend)
 
     def restore(self, state: VAETrainState, path: str) -> VAETrainState:
         from .checkpoint import restore_checkpoint

@@ -57,6 +57,17 @@ def test_orbax_roundtrip_sharded(tmp_path, backend):
     raw = restore_checkpoint(path)
     assert np.asarray(raw["variables"]["params"]["w"]).shape == (8, 8)
 
+    # restoring THROUGH a sharded template keeps the sharding — each
+    # device reads its own shards, no host gather (the FSDP resume path)
+    template = _sharded_state(mesh)
+    back_sh = restore_checkpoint(path, template)
+    w_sh = back_sh["variables"]["params"]["w"]
+    assert isinstance(w_sh, jax.Array)
+    assert w_sh.sharding.is_equivalent_to(
+        template["variables"]["params"]["w"].sharding, 2)
+    np.testing.assert_array_equal(
+        np.asarray(w_sh), np.arange(64, dtype=np.float32).reshape(8, 8))
+
 
 def test_topk_prunes_orbax_dirs(tmp_path):
     """TopK pruning must rmtree orbax DIRECTORY checkpoints (os.remove
