@@ -156,3 +156,20 @@ def test_ldm_sharded_loss_equals_single_device():
         np.testing.assert_allclose(
             float(logs_n[k]), float(logs_1[k]), rtol=2e-5, atol=2e-6,
             err_msg=f"metric {k} diverges between shardings")
+
+
+def test_reconstruction_mesh_policy(capsys):
+    """Mesh-selection policy shared by reconstruct.py and serve.py."""
+    from slice3d_tpu.parallel import reconstruction_mesh
+
+    # single device: never a mesh
+    assert reconstruction_mesh("points", 1, 32768, 1) is None
+    # points mode: chunk divisibility decides; warns when ignored
+    m = reconstruction_mesh("points", 1, 32768, 8)
+    assert m is not None and m.shape["data"] == 8
+    assert reconstruction_mesh("points", 1, 32769, 8) is None
+    assert "points ignored" in capsys.readouterr().out
+    # batch mode: batch>1 and divisible
+    assert reconstruction_mesh("batch", 8, 32768, 8).shape["data"] == 8
+    assert reconstruction_mesh("batch", 1, 32768, 8) is None
+    assert reconstruction_mesh("batch", 6, 32768, 8) is None
