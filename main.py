@@ -47,6 +47,10 @@ def get_parser():
     p.add_argument("--log_images_every", type=int, default=2000)
     p.add_argument("--val_every", type=int, default=2000)
     p.add_argument("--ddim_steps", type=int, default=200)
+    p.add_argument("--sampler", type=str, default="ddim",
+                   choices=["ddim", "dpm"],
+                   help="dpm = DPM-Solver++(2M): DDIM-200-class quality "
+                        "in ~20-30 steps (pair with --ddim_steps 20)")
     p.add_argument("--ckpt_backend", type=str, default="msgpack",
                    choices=["msgpack", "orbax", "orbax_async"])
     p.add_argument("--ddim_eta", type=float, default=1.0)
@@ -511,6 +515,7 @@ def main(argv=None):
             else:
                 gen = trainer.sample_slices(
                     state, batch, ddim_steps=args.ddim_steps, eta=args.ddim_eta,
+                    sampler=args.sampler,
                     rng=jax.random.PRNGKey(args.seed + batch_idx),
                 )
                 write_sample_outputs(logdir, batch_idx, batch, gen)

@@ -24,6 +24,7 @@ from flax import struct, traverse_util
 from ..diffusion.latent import LatentDiffusion, p_losses
 from ..diffusion.schedule import DDIMParams, DiffusionSchedule
 from ..diffusion.ddim import ddim_sample
+from ..diffusion.dpm import dpm_solver_sample
 from ..models.ema import ema_update
 from ..parallel import create_mesh, put_batch
 from .checkpoint import restore_checkpoint, save_checkpoint
@@ -281,8 +282,14 @@ class LDMTrainer:
         eta: float = 1.0,
         rng: Optional[jax.Array] = None,
         use_ema: bool = True,
+        sampler: str = "ddim",
     ) -> np.ndarray:
-        """Input views -> generated slice images (B, 12, H, W, 3) in [-1,1]."""
+        """Input views -> generated slice images (B, 12, H, W, 3) in [-1,1].
+
+        sampler: "ddim" (reference semantics, eta-stochastic) or "dpm"
+        (DPM-Solver++(2M), deterministic — same endpoint as DDIM eta=0
+        in ~10x fewer steps; see diffusion/dpm.py).
+        """
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         params = state.params
         if use_ema and self.use_ema:
@@ -308,7 +315,12 @@ class LDMTrainer:
                 variables, x, t, cond, method=LatentDiffusion.apply_model
             )
 
-        atlas = ddim_sample(eps_fn, ddim, rng, (b, h, h, 4))
+        if sampler == "dpm":
+            atlas = dpm_solver_sample(eps_fn, ddim, rng, (b, h, h, 4))
+        elif sampler == "ddim":
+            atlas = ddim_sample(eps_fn, ddim, rng, (b, h, h, 4))
+        else:
+            raise ValueError(f"unknown sampler {sampler!r}")
         imgs = self.module.apply(
             variables, atlas, state.scale_factor,
             method=LatentDiffusion.decode_atlas_images,
