@@ -195,6 +195,7 @@ def config5():
 
     bs = int(ENV("BENCH5_BS", "8"))
     steps = int(ENV("BENCH5_DDIM_STEPS", "200"))
+    sampler = ENV("BENCH5_SAMPLER", "ddim")  # dpm: ~10x fewer steps
     import jax.numpy as jnp
 
     module = LatentDiffusion(latent_size=16, dtype=jnp.bfloat16)
@@ -209,7 +210,8 @@ def config5():
 
     def sample():
         return trainer.sample_slices(state, batch, ddim_steps=steps, eta=1.0,
-                                     rng=jax.random.PRNGKey(1), use_ema=False)
+                                     rng=jax.random.PRNGKey(1), use_ema=False,
+                                     sampler=sampler)
 
     slices = sample()  # compile + slices for stage 2
     t_gen = _median(sample, max(int(ENV("BENCH_REPEATS", "5")) - 2, 1))
@@ -227,7 +229,7 @@ def config5():
     opm, dt = _objects_per_min(recon, feeds)
     per_obj = t_gen / bs + dt / bs
     return {"config": 5, "metric": "generation_e2e_s_per_object",
-            "operating_point": f"ddim={steps},bs={bs},res0=64,up=2",
+            "operating_point": f"{sampler}={steps},bs={bs},res0=64,up=2",
             "value": round(per_obj, 3), "unit": "s/object",
             "vs_baseline": None,
             "ddim_batch_s": round(t_gen, 3), "recon_s": round(dt, 3)}
