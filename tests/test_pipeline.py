@@ -131,6 +131,19 @@ def test_reconstruct_points_sharded_over_mesh(recon):
                                    atol=1e-5)
     np.testing.assert_array_equal(mesh_s.faces, ref_mesh.faces)
 
+    # two refinement levels under points sharding (the masked-level
+    # evaluator path at res0 4 -> 16 effective)
+    sharded2 = Reconstructor(
+        model, variables, resolution0=4, upsampling_steps=2,
+        chunk_size=1024, batch_size=1, mesh=mesh, shard_axis="points",
+    )
+    ref2 = Reconstructor(model, variables, resolution0=4,
+                         upsampling_steps=2, chunk_size=1024)
+    m2, st2 = sharded2.reconstruct(feed)
+    r2, rst2 = ref2.reconstruct(feed)
+    assert st2["n_points_evaluated"] == rst2["n_points_evaluated"]
+    assert len(m2.vertices) == len(r2.vertices)
+
     # bad configuration fails loudly
     with pytest.raises(ValueError, match="chunk_size"):
         Reconstructor(model, variables, resolution0=8, chunk_size=1023,
