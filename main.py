@@ -366,6 +366,12 @@ def run_vae_finetune(cfg, args):
 def main(argv=None):
     from slice3d_tpu.utils.cache import enable_compilation_cache
 
+    from slice3d_tpu.parallel import init_distributed
+
+    # join a multi-host cluster when SLICE3D_COORDINATOR/
+    # NUM_PROCESSES/PROCESS_ID are set; MUST run before anything
+    # initializes the XLA backend
+    init_distributed()
     enable_compilation_cache()
     args, unknown = get_parser().parse_known_args(argv)
     cfg = load_config(args.base, unknown)

@@ -14,6 +14,7 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from .layers import MLP
@@ -22,14 +23,15 @@ from .vgg import VGG16BNBackbone
 __all__ = ["CameraNet", "rotation_from_ortho6d", "camera_pose_loss"]
 
 CAM_MAX_DIST = 1.75
-_R_OBJ2CAM_INV = jnp.array([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
-_R_CAMFIX = jnp.diag(jnp.array([1.0, -1.0, -1.0]))
+# numpy on purpose: see models/vgg.py IMAGENET_MEAN note
+_R_OBJ2CAM_INV = np.array([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], np.float32)
+_R_CAMFIX = np.diag(np.array([1.0, -1.0, -1.0], np.float32))
 # canonical-frame inverse rotation (reference model_cam_est.py:140-143)
-_ROT_MAT_INV = jnp.array(
+_ROT_MAT_INV = np.array(
     [[1.0, 0.0, 0.0, 0.0],
      [0.0, 0.0, 1.0, 0.0],
      [0.0, -1.0, 0.0, 0.0],
-     [0.0, 0.0, 0.0, 1.0]]
+     [0.0, 0.0, 0.0, 1.0]], np.float32
 )
 
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from .layers import BatchNorm, max_pool_2x2
@@ -35,8 +36,11 @@ _VGG19_STAGES: Tuple[Tuple[int, ...], ...] = (
     (64, 64), (128, 128), (256, 256, 256, 256), (512, 512, 512, 512), (512, 512, 512, 512)
 )
 
-IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406])
-IMAGENET_STD = jnp.array([0.229, 0.224, 0.225])
+# numpy on purpose: module-level jnp.array would initialize the XLA
+# backend at import time (breaking jax.distributed.initialize, which
+# must run first in multi-host setups)
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 def imagenet_renorm(x: jnp.ndarray) -> jnp.ndarray:

@@ -19,7 +19,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-__all__ = ["create_mesh", "default_mesh"]
+__all__ = ["create_mesh", "default_mesh", "init_distributed"]
 
 
 def create_mesh(
@@ -65,3 +65,30 @@ def reconstruction_mesh(shard_axis: str, batch_size: int, chunk_size: int,
     if batch_size > 1 and batch_size % n_dev == 0:
         return create_mesh((n_dev, 1))
     return None
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Join a multi-host (DCN) jax.distributed cluster.
+
+    After this, ``jax.devices()`` is GLOBAL, so ``create_mesh`` builds the
+    cross-host mesh unchanged and XLA routes the mesh collectives over
+    DCN between hosts / ICI within them.  Values default from the
+    ``SLICE3D_COORDINATOR`` / ``SLICE3D_NUM_PROCESSES`` /
+    ``SLICE3D_PROCESS_ID`` env vars; a no-op (returns 1) when no cluster
+    is configured.  Returns the process count.
+    """
+    import os
+
+    coordinator = coordinator or os.environ.get("SLICE3D_COORDINATOR")
+    if num_processes is None:
+        num_processes = int(os.environ.get("SLICE3D_NUM_PROCESSES", "1"))
+    if process_id is None:
+        process_id = int(os.environ.get("SLICE3D_PROCESS_ID", "0"))
+    if not coordinator or num_processes <= 1:
+        return 1
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return num_processes

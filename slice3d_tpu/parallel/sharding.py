@@ -46,13 +46,28 @@ def put_batch(batch, mesh: Mesh):
 
     Leaves whose batch axis is not divisible by the data-axis size are
     replicated instead (small eval batches, odd remainders).
+
+    Multi-host (``jax.process_count() > 1``): each process passes its
+    LOCAL portion of the batch (global batch = process_count x local;
+    every host runs its own loader over its own data shard) and arrays
+    are assembled per-shard with no cross-host data movement; replicated
+    leaves must be identical on every host.
     """
     n_data = mesh.shape["data"]
     data_sh = batch_sharding(mesh)
     repl = replicate(mesh)
+    multihost = jax.process_count() > 1
 
     def put(x):
         shape = getattr(x, "shape", ())
+        if multihost:
+            import numpy as np
+
+            x = np.asarray(x)
+            n_global = shape[0] * jax.process_count() if shape else 0
+            ok = len(shape) > 0 and n_global % n_data == 0
+            return jax.make_array_from_process_local_data(
+                data_sh if ok else repl, x)
         ok = len(shape) > 0 and shape[0] % n_data == 0
         return jax.device_put(x, data_sh if ok else repl)
 

@@ -11,6 +11,12 @@ from slice3d_tpu.train.train_reg import train
 def main(argv=None):
     from slice3d_tpu.utils.cache import enable_compilation_cache
 
+    from slice3d_tpu.parallel import init_distributed
+
+    # join a multi-host cluster when SLICE3D_COORDINATOR/
+    # NUM_PROCESSES/PROCESS_ID are set; MUST run before anything
+    # initializes the XLA backend
+    init_distributed()
     enable_compilation_cache()
     opts = options_from_args(argv)
     if opts.name_model == "gtslice":
