@@ -156,6 +156,8 @@ def build_module_and_trainer(cfg, scale_lr: bool,
         unet_channels=int(unet.get("model_channels", 192)),
         unet_mult=tuple(unet.get("channel_mult", (1, 2, 2, 4, 4))),
         unet_nres=int(unet.get("num_res_blocks", 2)),
+        unet_attention_ds=tuple(
+            unet.get("attention_resolutions", (1, 2, 4, 8))),
         latent_size=img_size // downscale,
     )
     accumulate = int(((cfg.get("lightning") or {}).get("trainer") or {})
@@ -185,7 +187,8 @@ def build_dataset(cfg, split, img_size, data_root):
     sp = (data_p.get(split) or {}).get("params") or {}
     root = data_root or sp.get("root") or "./data/objaverse"
     ldm_split = {"train": "train", "validation": "validation", "test": "test"}[split]
-    return LDMSliceDataset(root=root, split=ldm_split, size=img_size)
+    return LDMSliceDataset(root=root, split=ldm_split, size=img_size,
+                           n_views=int(sp.get("n_views", 12)))
 
 
 def write_sample_outputs(logdir, batch_idx, batch, gen):

@@ -84,3 +84,54 @@ def test_generation_route_end_to_end(tmp_path):
     objs = sorted(glob.glob(str(tmp_path / "exp" / "gen_e2e" / "results" /
                                 "objaverse" / "*.obj")))
     assert [os.path.basename(p) for p in objs] == ["00000.obj", "00001.obj"]
+
+
+@pytest.mark.slow
+def test_ldm_train_cli(tmp_path):
+    """main.py -t on an LDM config: the reference's primary training CLI
+    (gen_slices/main.py trainer.fit route) — train steps, full-split
+    validation, top-k + last checkpoints, scalar logging."""
+    import main as launcher
+    from slice3d_tpu.train.checkpoint import restore_checkpoint
+
+    root = create_synthetic_dataset(str(tmp_path / "ds"), n_shapes=2,
+                                    n_views=6, img_size=32, n_sdf=64)
+    cfg = {
+        "model": {
+            "base_learning_rate": 5e-5,
+            "target": "ldm.models.diffusion.ddpm.LatentDiffusion",
+            "params": {
+                "timesteps": 20,
+                "unet_config": {"params": {"model_channels": 32,
+                                           "channel_mult": [1, 2],
+                                           "num_res_blocks": 1,
+                                           "attention_resolutions": [2]}},
+                "first_stage_config": {"params": {"ddconfig": {
+                    "ch": 32, "ch_mult": [1, 2], "num_res_blocks": 1}}},
+            },
+        },
+        "data": {"params": {
+            "batch_size": 2,
+            "train": {"params": {"size": 32, "root": root, "n_views": 6}},
+            "validation": {"params": {"size": 32, "root": root,
+                                      "n_views": 6}},
+        }},
+    }
+    cfg_path = tmp_path / "ldm_tiny.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    logroot = tmp_path / "logs"
+    launcher.main(["-b", str(cfg_path), "-t", "-l", str(logroot),
+                   "-n", "ldm_train", "--max_steps", "2",
+                   "--ckpt_every", "2", "--val_every", "2",
+                   "--log_images_every", "0"])
+    run = os.path.join(logroot, os.listdir(logroot)[0])
+    cks = os.listdir(os.path.join(run, "checkpoints"))
+    assert "last.ckpt" in cks
+    assert any(c.startswith("step=") and "loss_simple_ema" in c for c in cks)
+    payload = restore_checkpoint(os.path.join(run, "checkpoints", "last.ckpt"))
+    assert int(np.asarray(payload["step"])) == 2
+    import jax
+
+    for leaf in jax.tree_util.tree_leaves(payload["variables"]["params"]):
+        assert np.isfinite(np.asarray(leaf)).all()
