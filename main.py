@@ -177,6 +177,8 @@ def build_module_and_trainer(cfg, scale_lr: bool,
         # (reference ddpm.py:562-565, 1431-1441)
         scheduler_config=mp.get("scheduler_config"),
         learn_logvar=bool(mp.get("learn_logvar", False)),
+        scale_by_std=bool(mp.get("scale_by_std", True)),
+        use_ema=bool(mp.get("use_ema", True)),
         ckpt_backend=ckpt_backend,
     )
     return module, trainer, img_size, bs
