@@ -136,26 +136,33 @@ def _layer_kernel_grouped(n_heads: int, head_tokens: int, t_real: int,
     qkv = (bd_last(x, wqkv_ref[:]) + bqkv_ref[:]).astype(x.dtype)  # (BLK,T,3D)
 
     # additive mask over the packed group: row r belongs to point
-    # r // t_out, col c to point c // t with key token c % t
+    # r // t, col c to point c // t with key token c % t.  Queries run
+    # over ALL t tokens even when head_tokens trims the output — the
+    # (n_g, g*t, Dh) -> (blk, t, Dh) reshape is a supported sublane
+    # regroup, while the trimmed (n_g, g*t_out, Dh) -> (blk, t_out, Dh)
+    # form with t_out=1 is a shape cast Mosaic rejects; token trimming
+    # happens after the reshape as a plain slice
     row_pt = jax.lax.broadcasted_iota(
-        jnp.int32, (1, group * t_out, group * t), 1) // t_out
+        jnp.int32, (1, group * t, group * t), 1) // t
     col = jax.lax.broadcasted_iota(
-        jnp.int32, (1, group * t_out, group * t), 2)
+        jnp.int32, (1, group * t, group * t), 2)
     mask = jnp.where((row_pt == col // t) & (col % t < t_real),
                      0.0, -1e9).astype(jnp.float32)
 
     o_cat = None
     for h in range(n_heads):
-        q_h = qkv[:, :t_out, h * dh:(h + 1) * dh]
+        q_h = qkv[:, :, h * dh:(h + 1) * dh]
         k_h = qkv[:, :, d + h * dh:d + (h + 1) * dh]
         v_h = qkv[:, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
-        qg = q_h.reshape(n_g, group * t_out, dh)
+        qg = q_h.reshape(n_g, group * t, dh)
         kg = k_h.reshape(n_g, group * t, dh)
         vg = v_h.reshape(n_g, group * t, dh)
         logits = bdot(qg, kg, True) * scale + mask
         probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
         o_h = bdot(probs, vg, False).astype(x.dtype)
-        o_h = o_h.reshape(blk, t_out, dh)
+        o_h = o_h.reshape(blk, t, dh)
+        if head_tokens:
+            o_h = o_h[:, :head_tokens]
         o_cat = o_h if o_cat is None else jnp.concatenate([o_cat, o_h], -1)
     attn = bd_last(o_cat, wo_ref[:]) + bo_ref[:]
 
@@ -181,8 +188,14 @@ def _layer_kernel_grouped(n_heads: int, head_tokens: int, t_real: int,
 def grouped_attention_default() -> bool:
     """Whether fused_encoder_layer uses the grouped-attention kernel.
 
-    Opt-in via SLICE3D_ENCODER_GROUPED=1 until chip-measured (see
-    tools/bench_encoder_ablate.py); numerics are pinned equal either way.
+    Chip-measured (v5e, device-side chained timing, M=32k, 3-layer
+    stack): per-head kernel 21.1 ms/stack vs grouped 25.0 ms vs plain
+    XLA 32.4 ms — the blk-batched tiny attention matmuls were NOT the
+    bottleneck, so grouping loses to the extra mask/pack work.  The
+    per-head kernel stays the default; grouped remains a tested opt-in
+    (SLICE3D_ENCODER_GROUPED=1) in case the tradeoff flips on other
+    topologies.  Numerics are pinned equal either way
+    (tests/test_pallas_kernels.py).
     """
     return bool(os.environ.get("SLICE3D_ENCODER_GROUPED"))
 
