@@ -18,6 +18,7 @@ import datetime
 import os
 import time
 
+import numpy as np
 import yaml
 
 import jax
@@ -48,9 +49,19 @@ def get_parser():
     p.add_argument("--val_every", type=int, default=2000)
     p.add_argument("--ddim_steps", type=int, default=200)
     p.add_argument("--sampler", type=str, default="ddim",
-                   choices=["ddim", "dpm"],
+                   choices=["ddim", "dpm", "ancestral"],
                    help="dpm = DPM-Solver++(2M): DDIM-200-class quality "
-                        "in ~20-30 steps (pair with --ddim_steps 20)")
+                        "in ~20-30 steps (pair with --ddim_steps 20); "
+                        "ancestral = full-T DDPM p_sample_loop")
+    p.add_argument("--log_progressive_rows", action="store_true",
+                   help="also log full-T progressive-denoise and forward-"
+                        "diffusion rows at --log_images_every (reference "
+                        "ImageLogger plot_progressive/diffusion_rows)")
+    p.add_argument("--log_every_t", type=int, default=200,
+                   help="ddpm-step stride for the progressive/diffusion rows")
+    p.add_argument("--guidance_scale", type=float, default=1.0,
+                   help="classifier-free guidance scale for sampling "
+                        "(1.0 = off, reference ddim.py:168-175)")
     p.add_argument("--ckpt_backend", type=str, default="msgpack",
                    choices=["msgpack", "orbax", "orbax_async"])
     p.add_argument("--ddim_eta", type=float, default=1.0)
@@ -502,6 +513,25 @@ def main(argv=None):
                             eta=args.ddim_eta, rng=jax.random.PRNGKey(step))
                         save_image(to_uint8(slices_to_montage(gen[0])),
                                    os.path.join(img_dir, f"samples_gs-{step:06}.png"))
+                        if args.log_progressive_rows:
+                            # plot_progressive_rows + plot_diffusion_rows
+                            # (reference ddpm.py:1354-1418): full-T ancestral
+                            # denoise row and forward-noising row, one montage
+                            # column per logged step
+                            _, prog = trainer.sample_progressive(
+                                state, batch, log_every_t=args.log_every_t,
+                                rng=jax.random.PRNGKey(step))
+                            row = np.concatenate(list(prog[:, 0]), axis=2)
+                            save_image(to_uint8(slices_to_montage(row)),
+                                       os.path.join(img_dir,
+                                                    f"progressive_row_gs-{step:06}.png"))
+                            diff = trainer.diffusion_row(
+                                state, batch, log_every_t=args.log_every_t,
+                                rng=jax.random.PRNGKey(step))
+                            drow = np.concatenate(list(diff[:, 0]), axis=2)
+                            save_image(to_uint8(slices_to_montage(drow)),
+                                       os.path.join(img_dir,
+                                                    f"diffusion_row_gs-{step:06}.png"))
                     if args.max_steps > 0 and step >= args.max_steps:
                         trainer.save(state, os.path.join(ckpt_dir, "last.ckpt"))
                         wait_pending()
@@ -526,7 +556,7 @@ def main(argv=None):
             else:
                 gen = trainer.sample_slices(
                     state, batch, ddim_steps=args.ddim_steps, eta=args.ddim_eta,
-                    sampler=args.sampler,
+                    sampler=args.sampler, guidance_scale=args.guidance_scale,
                     rng=jax.random.PRNGKey(args.seed + batch_idx),
                 )
                 write_sample_outputs(logdir, batch_idx, batch, gen)

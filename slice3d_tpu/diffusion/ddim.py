@@ -25,6 +25,8 @@ def ddim_sample(
     shape: Tuple[int, ...],
     x_T: Optional[jnp.ndarray] = None,
     temperature: float = 1.0,
+    guidance_scale: float = 1.0,
+    eps_fn_uncond: Optional[Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]] = None,
 ) -> jnp.ndarray:
     """Run the reverse DDIM trajectory.
 
@@ -34,9 +36,15 @@ def ddim_sample(
       rng: PRNG key (initial noise + per-step noise when eta > 0).
       shape: latent shape (B, H, W, C).
       x_T: optional fixed initial noise (for golden tests).
+      guidance_scale / eps_fn_uncond: classifier-free guidance (reference
+        ddim.py:168-175): eps = e_uncond + scale * (e_cond - e_uncond).
+        The reference runs one 2B-batched model call on
+        concat([uncond, cond]); callers wanting that MXU-friendly batching
+        pass an ``eps_fn`` that does it internally and leave this off.
 
     Returns the final x_0-step latent.
     """
+    use_cfg = eps_fn_uncond is not None and guidance_scale != 1.0
     rng, init_key = jax.random.split(rng)
     x = x_T if x_T is not None else jax.random.normal(init_key, shape, jnp.float32)
 
@@ -52,7 +60,11 @@ def ddim_sample(
 
     def body(x, scan):
         t_step, a, ap, s1m, sg, key = scan
-        eps = eps_fn(x, jnp.full((b,), t_step, jnp.int32))
+        tb = jnp.full((b,), t_step, jnp.int32)
+        eps = eps_fn(x, tb)
+        if use_cfg:
+            eps_u = eps_fn_uncond(x, tb)
+            eps = eps_u + guidance_scale * (eps - eps_u)
         pred_x0 = (x - s1m * eps) / jnp.sqrt(a)
         dir_xt = jnp.sqrt(jnp.maximum(1.0 - ap - sg ** 2, 0.0)) * eps
         noise = sg * jax.random.normal(key, x.shape, x.dtype) * temperature

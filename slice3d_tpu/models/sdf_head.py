@@ -59,11 +59,23 @@ def pack_planes(planes: Sequence[jnp.ndarray], n_slices: int):
     return packed
 
 
+def _hat_max_rows_default() -> int:
+    """Per-level routing policy: levels with h*w <= this sample via the
+    dense hat-basis matmul (ops/hat_sample.py) instead of the 4-corner row
+    gather.  Exact (same map, reassociated); on v5e the matmul beats the
+    gather for the small levels (measured: see BASELINE.md hat ablation).
+    Env knob SLICE3D_HAT_MAX_ROWS: 0 disables, large forces all levels."""
+    import os
+
+    return int(os.environ.get("SLICE3D_HAT_MAX_ROWS", "1024"))
+
+
 def sample_packed_sum(
     packed: Sequence[jnp.ndarray],
     uv: jnp.ndarray,
     n_slices: int,
     obj_index: Optional[jnp.ndarray] = None,
+    hat_max_rows: Optional[int] = None,
 ) -> jnp.ndarray:
     """Bilinearly sample packed planes at uv and SUM the levels.
 
@@ -86,7 +98,12 @@ def sample_packed_sum(
     x = uv[..., 0].astype(jnp.float32)
     y = uv[..., 1].astype(jnp.float32)
 
-    total = None
+    from ..ops.hat_sample import hat_sample_sum
+
+    if hat_max_rows is None:
+        hat_max_rows = _hat_max_rows_default()
+    total, packed = hat_sample_sum(packed, uv, obj_index=obj_index,
+                                   max_rows=hat_max_rows)
     for plane in packed:
         _, h, w, sd = plane.shape
         if obj_index is not None:

@@ -13,7 +13,7 @@ Everything per-step runs as one jit program over the (data, model) mesh.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -23,6 +23,7 @@ from flax import struct, traverse_util
 
 from ..diffusion.latent import LatentDiffusion, p_losses
 from ..diffusion.schedule import DDIMParams, DiffusionSchedule
+from ..diffusion.ancestral import ddpm_sample
 from ..diffusion.ddim import ddim_sample
 from ..diffusion.dpm import dpm_solver_sample
 from ..models.ema import ema_update
@@ -283,12 +284,20 @@ class LDMTrainer:
         rng: Optional[jax.Array] = None,
         use_ema: bool = True,
         sampler: str = "ddim",
+        guidance_scale: float = 1.0,
+        uncond: Optional[Dict[str, jnp.ndarray]] = None,
     ) -> np.ndarray:
         """Input views -> generated slice images (B, 12, H, W, 3) in [-1,1].
 
-        sampler: "ddim" (reference semantics, eta-stochastic) or "dpm"
+        sampler: "ddim" (reference semantics, eta-stochastic), "dpm"
         (DPM-Solver++(2M), deterministic — same endpoint as DDIM eta=0
-        in ~10x fewer steps; see diffusion/dpm.py).
+        in ~10x fewer steps; see diffusion/dpm.py), or "ancestral"
+        (full-T DDPM p_sample_loop, reference ddpm.py:1270-1306).
+
+        guidance_scale != 1 enables classifier-free guidance (reference
+        ddim.py:168-175) against ``uncond`` conditioning (defaults to
+        zeroed conditioning).  Both branches run as ONE 2B-batched model
+        call per step so the MXU sees a single large dispatch.
         """
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         params = state.params
@@ -306,19 +315,20 @@ class LDMTrainer:
             variables, z13, ipt, state.scale_factor,
             method=LatentDiffusion.build_cond,
         )
-        ddim = DDIMParams.create(self.schedule, ddim_steps, eta)
         b = images.shape[0]
         h = (self.img_size // self.module.downscale) * 4
 
-        def eps_fn(x, t):
-            return self.module.apply(
-                variables, x, t, cond, method=LatentDiffusion.apply_model
-            )
+        eps_fn = self._make_eps_fn(variables, cond, guidance_scale, uncond)
 
         if sampler == "dpm":
+            ddim = DDIMParams.create(self.schedule, ddim_steps, eta)
             atlas = dpm_solver_sample(eps_fn, ddim, rng, (b, h, h, 4))
         elif sampler == "ddim":
+            ddim = DDIMParams.create(self.schedule, ddim_steps, eta)
             atlas = ddim_sample(eps_fn, ddim, rng, (b, h, h, 4))
+        elif sampler == "ancestral":
+            atlas, _ = ddpm_sample(eps_fn, self.schedule, rng, (b, h, h, 4),
+                                   clip_denoised=False)
         else:
             raise ValueError(f"unknown sampler {sampler!r}")
         imgs = self.module.apply(
@@ -326,6 +336,131 @@ class LDMTrainer:
             method=LatentDiffusion.decode_atlas_images,
         )
         return np.asarray(imgs[:, :12])
+
+    def _make_eps_fn(self, variables, cond, guidance_scale: float = 1.0,
+                     uncond=None):
+        """eps_fn closure; with CFG the cond/uncond branches fuse into one
+        2B-batched UNet call (reference ddim.py:170-175 does the same
+        torch.cat trick — here it keeps the MXU dispatch large)."""
+        if guidance_scale == 1.0:
+            def eps_fn(x, t):
+                return self.module.apply(
+                    variables, x, t, cond, method=LatentDiffusion.apply_model
+                )
+            return eps_fn
+
+        if uncond is None:
+            uncond = jax.tree_util.tree_map(jnp.zeros_like, cond)
+        cond2 = jax.tree_util.tree_map(
+            lambda u, c: jnp.concatenate([u, c], axis=0), uncond, cond)
+
+        def eps_fn(x, t):
+            out = self.module.apply(
+                variables,
+                jnp.concatenate([x, x], axis=0),
+                jnp.concatenate([t, t], axis=0),
+                cond2, method=LatentDiffusion.apply_model,
+            )
+            e_u, e_c = jnp.split(out, 2, axis=0)
+            return e_u + guidance_scale * (e_c - e_u)
+
+        return eps_fn
+
+    def sample_progressive(
+        self,
+        state: LDMTrainState,
+        batch: Dict[str, np.ndarray],
+        *,
+        log_every_t: int = 200,
+        rng: Optional[jax.Array] = None,
+        use_ema: bool = True,
+        temperature: float = 1.0,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Full-T progressive denoising (reference ddpm.py:1213-1268 +
+        the ``plot_progressive_rows`` branch of log_images,
+        ddpm.py:1354-1418): walks every ddpm step ancestrally, records the
+        running x0 estimate every ``log_every_t`` steps, and decodes each
+        recorded atlas to slice images.
+
+        Returns (final_slices (B, 12, H, W, 3),
+                 progressive (n_log, B, 12, H, W, 3)) in [-1, 1].
+        """
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        params = state.params
+        if use_ema and self.use_ema:
+            params = _merge_trainable(params, state.ema_params)
+        variables = {"params": params, "batch_stats": state.batch_stats}
+
+        images = jnp.asarray(batch["image"])
+        ipt = jnp.asarray(batch["img_ipt_view"])
+        rng, rng_enc = jax.random.split(rng)
+        z13 = self.module.apply(
+            variables, images, rng_enc, True, method=LatentDiffusion.encode_images
+        )
+        cond = self.module.apply(
+            variables, z13, ipt, state.scale_factor,
+            method=LatentDiffusion.build_cond,
+        )
+        b = images.shape[0]
+        h = (self.img_size // self.module.downscale) * 4
+        eps_fn = self._make_eps_fn(variables, cond)
+        atlas, inter = ddpm_sample(
+            eps_fn, self.schedule, rng, (b, h, h, 4),
+            log_every_t=log_every_t, record="pred_x0",
+            temperature=temperature,
+        )
+
+        def decode(a):
+            return self.module.apply(
+                variables, a, state.scale_factor,
+                method=LatentDiffusion.decode_atlas_images,
+            )[:, :12]
+
+        final = np.asarray(decode(atlas))
+        rows = np.stack([np.asarray(decode(inter[i]))
+                         for i in range(inter.shape[0])])
+        return final, rows
+
+    def diffusion_row(
+        self,
+        state: LDMTrainState,
+        batch: Dict[str, np.ndarray],
+        *,
+        log_every_t: int = 200,
+        rng: Optional[jax.Array] = None,
+    ) -> np.ndarray:
+        """Forward-noising visualization (the ``plot_diffusion_rows``
+        branch of reference log_images, ddpm.py:1370-1385): q_sample the
+        clean latents at each log step and decode.
+
+        Returns (n_log, B, 12, H, W, 3) in [-1, 1].
+        """
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        rng, rng_enc = jax.random.split(rng)
+        z13 = self.module.apply(
+            variables, jnp.asarray(batch["image"]), rng_enc, True,
+            method=LatentDiffusion.encode_images,
+        )
+        atlas0 = self.module.apply(
+            variables, z13, state.scale_factor, method=LatentDiffusion.make_atlas
+        )
+        t_total = self.schedule.num_timesteps
+        steps = [t for t in range(t_total)
+                 if t % log_every_t == 0 or t == t_total - 1]
+        sqrt_ac = np.asarray(self.schedule.sqrt_alphas_cumprod)
+        sqrt_1m = np.asarray(self.schedule.sqrt_one_minus_alphas_cumprod)
+        rows = []
+        for t in steps:
+            rng, rng_n = jax.random.split(rng)
+            noise = jax.random.normal(rng_n, atlas0.shape, atlas0.dtype)
+            z_noisy = sqrt_ac[t] * atlas0 + sqrt_1m[t] * noise
+            imgs = self.module.apply(
+                variables, z_noisy, state.scale_factor,
+                method=LatentDiffusion.decode_atlas_images,
+            )
+            rows.append(np.asarray(imgs[:, :12]))
+        return np.stack(rows)
 
     def reconstruct_slices(self, state: LDMTrainState, batch,
                            rng: Optional[jax.Array] = None) -> np.ndarray:

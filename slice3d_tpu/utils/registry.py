@@ -30,8 +30,20 @@ ALIASES: Dict[str, str] = {
     "ldm.data.custom_sin_img.CustomSinImgTrain": "slice3d_tpu.data.ldm_data.LDMSliceDataset",
     "ldm.data.custom_sin_img.CustomSinImgValidation": "slice3d_tpu.data.ldm_data.LDMSliceDataset",
     "ldm.data.custom_sin_img.CustomSinImgTest": "slice3d_tpu.data.ldm_data.LDMSliceDataset",
-    "torch.nn.Identity": "builtins.dict",  # placeholder loss configs
+    # placeholder loss configs (reference kl-f8 yaml sets lossconfig to
+    # torch.nn.Identity): an explicit no-op, not a silent builtins alias
+    "torch.nn.Identity": "slice3d_tpu.utils.registry.NoOp",
 }
+
+
+class NoOp:
+    """Explicit no-op target for placeholder config entries."""
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+    def __call__(self, *args, **kwargs):
+        return None
 
 # Reference param names that have no meaning in the TPU build (device/layout
 # details handled elsewhere) — dropped with a note instead of erroring.

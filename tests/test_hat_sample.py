@@ -1,0 +1,66 @@
+"""hat_sample: dense hat-basis bilinear sampling == the 4-corner gather."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from slice3d_tpu.models.sdf_head import sample_packed_sum
+from slice3d_tpu.ops.hat_sample import hat_sample_level, hat_sample_sum
+
+
+def _gather_ref(plane, uv):
+    """The existing gather path, single level (via sample_packed_sum with
+    n_slices=1 so the trailing reshape is a no-op)."""
+    out = sample_packed_sum([plane], uv, n_slices=1, hat_max_rows=0)
+    return out.reshape(out.shape[0], out.shape[1], -1)
+
+
+def test_hat_matches_gather_in_range():
+    rng = np.random.default_rng(0)
+    plane = jnp.asarray(rng.normal(size=(2, 9, 7, 24)).astype(np.float32))
+    uv = jnp.asarray(rng.uniform(-1, 1, (2, 333, 2)).astype(np.float32))
+    ref = _gather_ref(plane, uv)
+    x = uv[..., 0]
+    y = uv[..., 1]
+    got = hat_sample_level(plane, (x + 1) * 0.5 * (7 - 1), (y + 1) * 0.5 * (9 - 1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_hat_matches_gather_out_of_range():
+    """Zero-padding semantics: out-of-range corners contribute nothing."""
+    rng = np.random.default_rng(1)
+    plane = jnp.asarray(rng.normal(size=(1, 5, 5, 8)).astype(np.float32))
+    uv = jnp.asarray(rng.uniform(-1.8, 1.8, (1, 500, 2)).astype(np.float32))
+    ref = _gather_ref(plane, uv)
+    got = hat_sample_level(plane, (uv[..., 0] + 1) * 2.0, (uv[..., 1] + 1) * 2.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_hat_sample_sum_routing_and_values():
+    """Levels <= max_rows route through hat and sum exactly like the
+    gather path; larger levels are handed back."""
+    rng = np.random.default_rng(2)
+    small = jnp.asarray(rng.normal(size=(1, 8, 8, 12)).astype(np.float32))
+    small2 = jnp.asarray(rng.normal(size=(1, 16, 16, 12)).astype(np.float32))
+    big = jnp.asarray(rng.normal(size=(1, 64, 64, 12)).astype(np.float32))
+    uv = jnp.asarray(rng.uniform(-1, 1, (1, 200, 2)).astype(np.float32))
+
+    total, rest = hat_sample_sum([small, small2, big], uv, max_rows=256)
+    assert len(rest) == 1 and rest[0] is big
+    ref = _gather_ref(small, uv) + _gather_ref(small2, uv)
+    np.testing.assert_allclose(np.asarray(total), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_hat_obj_index_selects_plane_set():
+    rng = np.random.default_rng(3)
+    planes = jnp.asarray(rng.normal(size=(3, 8, 8, 4)).astype(np.float32))
+    uv = jnp.asarray(rng.uniform(-1, 1, (1, 50, 2)).astype(np.float32))
+    for oid in range(3):
+        total, _ = hat_sample_sum([planes], uv, obj_index=jnp.asarray([oid]),
+                                  max_rows=64)
+        ref = _gather_ref(planes[oid:oid + 1], uv)
+        np.testing.assert_allclose(np.asarray(total), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)

@@ -78,6 +78,37 @@ def test_sample_and_reconstruct_shapes(trainer, batch):
 
 
 @pytest.mark.slow
+def test_ancestral_progressive_and_cfg(trainer, batch):
+    """Ancestral p_sample_loop, progressive denoise rows, forward-diffusion
+    rows, and CFG sampling all run end-to-end on the tiny module."""
+    state = trainer.init_state()
+    gen = trainer.sample_slices(state, batch, sampler="ancestral")
+    assert gen.shape == (2, 12, IMG, IMG, 3)
+    assert np.isfinite(gen).all()
+
+    final, prog = trainer.sample_progressive(state, batch, log_every_t=8)
+    assert final.shape == (2, 12, IMG, IMG, 3)
+    # timesteps=20, log at t%8==0 or t==19 -> t in {19, 16, 8, 0} = 4 rows
+    assert prog.shape == (4, 2, 12, IMG, IMG, 3)
+    assert np.isfinite(prog).all()
+
+    diff = trainer.diffusion_row(state, batch, log_every_t=8)
+    assert diff.shape == (4, 2, 12, IMG, IMG, 3)
+
+    # CFG needs non-zero eps to matter: the UNet's out conv is zero-init
+    # (reference zero_module), so perturb with one train step first
+    state = trainer.maybe_set_scale(state, batch)
+    state, _ = trainer.train_step(state, batch, jax.random.PRNGKey(2))
+    cfg = trainer.sample_slices(state, batch, ddim_steps=4, eta=0.0,
+                                guidance_scale=3.0, use_ema=False)
+    base = trainer.sample_slices(state, batch, ddim_steps=4, eta=0.0,
+                                 use_ema=False)
+    assert cfg.shape == base.shape
+    assert np.isfinite(cfg).all()
+    assert np.abs(cfg - base).max() > 1e-6  # guidance changed the output
+
+
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path, trainer, batch):
     state = trainer.init_state()
     state, _ = trainer.train_step(state, batch, jax.random.PRNGKey(1))
