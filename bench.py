@@ -108,12 +108,15 @@ def main():
         if verbose:
             print(f"run {i}: {times[-1]:.3f}s {stats}", file=sys.stderr)
 
-    # Link-stall censoring: runs caught in a tunnel stall window measure
-    # the link, not the pipeline (device work is identical every run —
-    # `n_points_evaluated` pins that).  Drop runs slower than 3x the
-    # fastest, report how many were dropped plus the uncensored median.
+    # Link-stall censoring: runs caught in a tunnel OUTAGE measure the
+    # link, not the pipeline (device work is identical every run —
+    # `n_points_evaluated` pins that; a concurrent-pull probe showed the
+    # outage is link-wide, ~10-20 s, so retries/hedging cannot mask it).
+    # Censor only true outages — runs >4 s over the fastest — so ordinary
+    # jitter stays in the distribution; report the drop count and the
+    # uncensored median alongside.
     t_arr = np.asarray(times)
-    keep = t_arr <= 3.0 * t_arr.min()
+    keep = t_arr <= t_arr.min() + 4.0
     p50_raw = float(np.median(t_arr))
     n_dropped = int((~keep).sum())
     p50 = float(np.median(t_arr[keep]))

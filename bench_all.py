@@ -332,12 +332,45 @@ def config6():
 
     dt = _timed_steps(step_once, n_steps)
     sps = n_steps / dt
+
+    # input-pipeline saturation: can BatchLoader feed batches faster than
+    # the device consumes them?  Measured over a synthetic on-disk dataset
+    # at the same operating point; fraction < 1 means the loader keeps up.
+    loader_frac = None
+    if not ENV("BENCH6_SKIP_LOADER"):
+        import shutil
+        import tempfile
+
+        from slice3d_tpu.data.builders import create_synthetic_dataset
+        from slice3d_tpu.data.dataset import Slice3DDataset
+        from slice3d_tpu.data.pipeline import BatchLoader
+
+        tmp = tempfile.mkdtemp(prefix="bench6_ds_")
+        try:
+            create_synthetic_dataset(os.path.join(tmp, "objaverse"),
+                                     n_shapes=2 * bs, n_views=12,
+                                     img_size=img, n_sdf=4096)
+            ds = Slice3DDataset(os.path.join(tmp, "objaverse"),
+                                split="train", img_size=img, n_qry=n_qry)
+            loader = BatchLoader(ds, bs, num_workers=int(ENV("BENCH6_WK", "4")))
+            it = iter(loader)
+            next(it)  # warm the prefetch pipeline
+            t0 = time.perf_counter()
+            n_b = 0
+            for _ in it:
+                n_b += 1
+            t_batch = (time.perf_counter() - t0) / max(n_b, 1)
+            loader_frac = round(t_batch / (dt / n_steps), 3)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     return {"config": 6, "metric": "regression_train_steps_per_s",
             "operating_point": f"bs={bs},qry={n_qry},img={img},3-term loss",
             "value": round(sps, 3), "unit": "steps/s",
             "vs_baseline": None,
             "samples_per_s": round(sps * bs, 2),
-            "step_latency_s": round(dt / n_steps, 4)}
+            "step_latency_s": round(dt / n_steps, 4),
+            "input_pipeline_fraction": loader_frac}
 
 
 def config7():
@@ -390,13 +423,88 @@ def config7():
             "step_latency_s": round(dt / n_steps, 4)}
 
 
+def config8():
+    """SERVING under concurrent load (serve.py over HTTP on this chip):
+    req/s + latency percentiles, B=1 vs micro-batched.  The reference has
+    no serving story at all; the row exists so micro-batching claims are
+    measured, not extrapolated from config 2."""
+    import io
+    import json as _json
+    from concurrent.futures import ThreadPoolExecutor
+    from http.client import HTTPConnection
+    from http.server import ThreadingHTTPServer
+    from threading import Thread
+
+    from PIL import Image
+
+    import serve
+    from slice3d_tpu.config import Options
+
+    res0 = int(ENV("BENCH8_RES0", "64"))
+    up = int(ENV("BENCH8_UP_STEPS", "2"))
+    n_req = int(ENV("BENCH8_REQUESTS", "16"))
+    n_cc = int(ENV("BENCH8_CONCURRENCY", "8"))
+    bsz = int(ENV("BENCH8_BATCH", "4"))
+    window = float(ENV("BENCH8_WINDOW_MS", "80"))
+
+    rng = np.random.default_rng(0)
+    buf = io.BytesIO()
+    Image.fromarray(
+        rng.integers(0, 255, (128, 128, 4), dtype=np.uint8), "RGBA"
+    ).save(buf, format="PNG")
+    png = buf.getvalue()
+
+    def drive(batch_size):
+        opts = Options(name_model="slicenet", img_size=128, dtype="bfloat16",
+                       random_init=True, mc_res0=res0, mc_up_steps=up,
+                       mc_chunk_size=int(ENV("BENCH_CHUNK", "32768")),
+                       mc_batch_size=batch_size)
+        service = serve.build_service(opts, batch_window_ms=window)
+        service.warmup()
+        server = ThreadingHTTPServer(("127.0.0.1", 0),
+                                     serve.make_handler(service))
+        Thread(target=server.serve_forever, daemon=True).start()
+        port = server.server_address[1]
+
+        def one(_):
+            conn = HTTPConnection("127.0.0.1", port, timeout=600)
+            conn.request("POST", "/reconstruct", body=png,
+                         headers={"Content-Type": "image/png"})
+            r = conn.getresponse()
+            ok = r.status == 200
+            r.read()
+            conn.close()
+            return ok
+
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(n_cc) as pool:
+            oks = list(pool.map(one, range(n_req)))
+        wall = time.perf_counter() - t0
+        stats = service.serving_stats()
+        server.shutdown()
+        return {"req_per_s": round(n_req / wall, 3),
+                "wall_s": round(wall, 2),
+                "ok": int(sum(oks)),
+                "p50_ms": stats.get("p50_ms"), "p90_ms": stats.get("p90_ms")}
+
+    single = drive(1)
+    batched = drive(bsz)
+    return {"config": 8, "metric": "serving_req_per_s",
+            "operating_point": f"res0={res0},up={up},cc={n_cc},n={n_req}",
+            "value": batched["req_per_s"], "unit": "req/s",
+            "vs_baseline": None,
+            "single": single, f"microbatch_b{bsz}_w{window:g}ms": batched,
+            "microbatch_speedup": round(
+                batched["req_per_s"] / single["req_per_s"], 2)}
+
+
 def main():
     from slice3d_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
     only = ENV("BENCH_CONFIGS", "1,2,3,4,5,6,7")
     fns = {"1": config1, "2": config2, "3": config3, "4": config4,
-           "5": config5, "6": config6, "7": config7}
+           "5": config5, "6": config6, "7": config7, "8": config8}
     for key in only.split(","):
         key = key.strip()
         if key in fns:

@@ -20,6 +20,11 @@ the slow stage:
             matmul is block-diagonal for free.  Turns 128 serialized
             (16,32)@(32,16) MXU calls into 16 batched (128,32)@(32,128)
             calls per head; out_proj is one full-width matmul.
+  flatffn   FFN matmuls run 2-D: h1 (BLK,T,128) reshaped to (BLK*T,128)
+            so Mosaic sees one tall MXU matmul instead of BLK batched
+            (T,128)@(128,2048) calls; attention unchanged
+  flat2d    flatffn + qkv as ONE 2-D (BLK*T,128)@(128,384) matmul with
+            per-head lane slices
   xla       plain jnp/einsum implementation under jit (no Pallas)
 
 All variants run the same (M, 13, 128) -> (M, 13, 128) layer shape and the
@@ -135,17 +140,25 @@ def _variant_kernel(mode: str, n_heads: int, head_tokens: int, t_real: int,
         o_ref[:] = out.astype(o_ref.dtype)
         return
 
-    if mode == "wideqkv":
+    if mode in ("wideqkv", "flat2d"):
         # one full-lane projection, then per-head lane slices
         wqkv = jnp.concatenate(
             [widen_w(wq_ref), widen_w(wk_ref), widen_w(wv_ref)], axis=-1)
         bqkv = jnp.concatenate(
             [widen_b(bq_ref), widen_b(bk_ref), widen_b(bv_ref)], axis=-1)
-        qkv = (bd_last(x, wqkv) + bqkv).astype(x.dtype)  # (BLK, T, 3D)
+        if mode == "flat2d":
+            # 2-D form: one tall (BLK*T, D)@(D, 3D) MXU matmul
+            qkv2 = jax.lax.dot_general(
+                x.reshape(blk * t, d), wqkv,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            qkv = (qkv2.reshape(blk, t, 3 * d) + bqkv).astype(x.dtype)
+        else:
+            qkv = (bd_last(x, wqkv) + bqkv).astype(x.dtype)  # (BLK, T, 3D)
 
     attn = None
     for h in range(n_heads):
-        if mode == "wideqkv":
+        if mode in ("wideqkv", "flat2d"):
             q_h = qkv[:, :, h * dh:(h + 1) * dh]
             k_h = qkv[:, :, d + h * dh:d + (h + 1) * dh]
             v_h = qkv[:, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
@@ -187,9 +200,23 @@ def _variant_kernel(mode: str, n_heads: int, head_tokens: int, t_real: int,
     if mode == "noffn":
         o_ref[:] = h1.astype(o_ref.dtype)
         return
-    ff = bd_last(h1, w1_ref[:])
-    ff = jnp.maximum(ff + b1_ref[:], 0.0).astype(x.dtype)
-    ff = bd_last(ff, w2_ref[:]) + b2_ref[:]
+    if mode in ("flatffn", "flat2d"):
+        # 2-D FFN: (BLK*T_out, D) @ (D, F) -> relu -> @ (F, D); Mosaic
+        # sees two tall matmuls instead of BLK batched (T,128) ones
+        t_o = h1.shape[1]
+        f = w1_ref.shape[-1]
+        h1f = h1.reshape(blk * t_o, d)
+        mm = lambda a, b: jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ff = jnp.maximum(mm(h1f, w1_ref[:]) + b1_ref[:].reshape(1, f),
+                         0.0).astype(x.dtype)
+        ff = (mm(ff, w2_ref[:]) + b2_ref[:].reshape(1, d)).reshape(
+            blk, t_o, d)
+    else:
+        ff = bd_last(h1, w1_ref[:])
+        ff = jnp.maximum(ff + b1_ref[:], 0.0).astype(x.dtype)
+        ff = bd_last(ff, w2_ref[:]) + b2_ref[:]
     out = layer_norm(h1.astype(jnp.float32) + ff, g2_ref, beta2_ref)
     o_ref[:] = out.astype(o_ref.dtype)
 
@@ -273,6 +300,12 @@ def main():
         "wideqkv": lambda xx: stack3(
             lambda a, p, head_tokens: variant_layer(
                 a, p, "wideqkv", head_tokens=head_tokens), xx, plist),
+        "flatffn": lambda xx: stack3(
+            lambda a, p, head_tokens: variant_layer(
+                a, p, "flatffn", head_tokens=head_tokens), xx, plist),
+        "flat2d": lambda xx: stack3(
+            lambda a, p, head_tokens: variant_layer(
+                a, p, "flat2d", head_tokens=head_tokens), xx, plist),
         "grouped": lambda xx: stack3(
             lambda a, p, head_tokens: variant_layer(
                 a, p, "grouped", head_tokens=head_tokens), xx, plist),
@@ -292,7 +325,8 @@ def main():
     # grouped's differently-shaped fp32 accumulations flip rare bf16
     # rounding ties (measured: ~2 ulp on <0.1% of elements per layer,
     # mean|diff| ~1e-7); 3 stacked layers amplify max|diff| to ~3e-2
-    for name, tol in (("wideqkv", 2e-2), ("grouped", 6e-2)):
+    for name, tol in (("wideqkv", 2e-2), ("flatffn", 2e-2),
+                      ("flat2d", 2e-2), ("grouped", 6e-2)):
         alt = np.asarray(jax.jit(fns[name])(x), np.float32)
         err = float(np.max(np.abs(ref - alt)))
         print(f"{name} vs full max|diff| = {err:.2e}")
