@@ -28,6 +28,29 @@ import numpy as np
 ENV = os.environ.get
 
 
+def _twin_baseline():
+    """Measured reference baseline (tools/bench_reference_twin.py output,
+    recorded in BASELINE_TWIN.json): the torch twin of the reference's
+    per-3000pt-chunk full-network recompute hot loop, measured on this
+    host's CPU — the only reference hardware available here (the reference
+    repo/paper publish no A100 throughput we can verify)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_TWIN.json")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
+def _vs_twin_opm(objects_per_min):
+    twin = _twin_baseline()
+    if not twin:
+        return None, None
+    ratio = objects_per_min / twin["ref_twin_est_objects_per_min"]
+    return round(ratio, 1), twin["baseline_source"]
+
+
 def _median(f, repeats, warmup=1):
     for _ in range(warmup):
         f()
@@ -96,10 +119,16 @@ def config1():
         recon.reconstruct(f)
         ts.append(time.perf_counter() - t0)
     p50 = float(np.median(ts))
-    return {"config": 1, "metric": "single_image_to_mesh_p50_s",
-            "operating_point": f"res0={res0},up={up}",
-            "value": round(p50, 4), "unit": "s",
-            "vs_baseline": round(2.0 / p50, 4)}
+    out = {"config": 1, "metric": "single_image_to_mesh_p50_s",
+           "operating_point": f"res0={res0},up={up}",
+           "value": round(p50, 4), "unit": "s",
+           "vs_baseline": round(2.0 / p50, 4)}
+    twin = _twin_baseline()
+    if twin:
+        out["vs_ref_twin_same_op_point"] = round(
+            twin["ref_twin_est_s_per_object"] / p50, 1)
+        out["ref_twin_source"] = twin["baseline_source"]
+    return out
 
 
 def _warm_link():
@@ -156,13 +185,15 @@ def config2():
                             batch=batch)
     opm, dt, healthy, n_stalls = _objects_per_min(
         recon, _feeds(n, with_slices=False), batch=batch)
+    vs, src = _vs_twin_opm(opm)
     return {"config": 2, "metric": "regression_recon_objects_per_min",
             "operating_point": f"res0={res0},up={up},n={n},batch={batch}",
             "value": round(opm, 2), "unit": "objects/min",
             "healthy_link_objects_per_min":
                 round(healthy, 2) if healthy else None,
             "n_link_stall_gaps": n_stalls,
-            "vs_baseline": None, "wall_s": round(dt, 2)}
+            "vs_baseline": vs, "baseline_source": src,
+            "wall_s": round(dt, 2)}
 
 
 def config3():
@@ -178,13 +209,15 @@ def config3():
                            batch=batch)
     opm, dt, healthy, n_stalls = _objects_per_min(
         recon, _feeds(n, with_slices=True), batch=batch)
+    vs, src = _vs_twin_opm(opm)
     return {"config": 3, "metric": "gtslice_recon_objects_per_min",
             "operating_point": f"res0={res0},up={up},n={n},batch={batch}",
             "value": round(opm, 2), "unit": "objects/min",
             "healthy_link_objects_per_min":
                 round(healthy, 2) if healthy else None,
             "n_link_stall_gaps": n_stalls,
-            "vs_baseline": None, "wall_s": round(dt, 2)}
+            "vs_baseline": vs, "baseline_source": src,
+            "wall_s": round(dt, 2)}
 
 
 def config4():
@@ -279,14 +312,19 @@ def config5():
 def _timed_steps(step_once, n_steps, warmup=2):
     """Wall-time ``n_steps`` state-threading train steps after warmup.
 
-    ``step_once`` must force a host fetch of a scalar (float(logs[...]))
-    — block_until_ready does not synchronize through the axon tunnel.
+    ``step_once(sync)`` must force a host fetch of a scalar when sync is
+    True (block_until_ready does not synchronize through the axon
+    tunnel).  Steps are queued without syncing and fetched ONCE at the
+    end: state threads step->step on device, so the final fetch bounds
+    all of them — that is the device's steady-state throughput, not the
+    tunnel's per-pull latency (a real train loop fetches logs every
+    freq_log steps, not every step).
     """
     for _ in range(warmup):
-        step_once()
+        step_once(sync=True)
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        step_once()
+    for i in range(n_steps):
+        step_once(sync=(i == n_steps - 1))
     return time.perf_counter() - t0
 
 
@@ -326,9 +364,9 @@ def config6():
 
     box = {"state": state}
 
-    def step_once():
+    def step_once(sync=True):
         box["state"], logs = trainer.train_step(box["state"], batch)
-        return float(logs["loss"])
+        return float(logs["loss"]) if sync else None
 
     dt = _timed_steps(step_once, n_steps)
     sps = n_steps / dt
@@ -407,11 +445,11 @@ def config7():
 
     box = {"state": trainer.init_state(), "i": 0}
 
-    def step_once():
+    def step_once(sync=True):
         key = jax.random.PRNGKey(box["i"])
         box["i"] += 1
         box["state"], logs = trainer.train_step(box["state"], batch, key)
-        return float(logs["loss_simple"])
+        return float(logs["loss_simple"]) if sync else None
 
     dt = _timed_steps(step_once, n_steps)
     sps = n_steps / dt
