@@ -185,6 +185,192 @@ def _layer_kernel_grouped(n_heads: int, head_tokens: int, t_real: int,
     o_ref[:] = out.astype(o_ref.dtype)
 
 
+def _layer_kernel_v2(n_heads: int, head_tokens: int, t_real: int,
+                     x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+                     g1_ref, beta1_ref,
+                     w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, beta2_ref,
+                     o_ref):
+    """Wide-projection + flat-FFN variant of `_layer_kernel`.
+
+    Same per-head batched attention, but (a) qkv is ONE full-lane
+    (BLK,T,128)@(128,384) matmul on a PRE-CONCATENATED weight (the
+    per-head (128,32) slabs of `_layer_kernel` use a quarter of the MXU's
+    lanes; the harness's in-kernel re-concat variant measured slower, so
+    the concat happens once at pack time), (b) out-proj is one (D,D)
+    matmul on the head-concat, and (c) the FFN runs 2-D — (BLK*T, D) @
+    (D, F) — so Mosaic sees one tall matmul instead of BLK batched
+    (T, D) ones (chip-measured equal-to-marginally ahead of the per-head
+    kernel; see encoder_kernel_default for the numbers).
+    """
+    blk, t, d = x_ref.shape
+    dh = d // n_heads
+    x = x_ref[:]
+
+    scale = 1.0 / math.sqrt(dh)
+    bd_last = lambda a, b: jax.lax.dot_general(
+        a, b, dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    if t != t_real:
+        key_pad = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, 1, t), 2) >= t_real
+        ).astype(jnp.float32) * (-1e9)
+
+    qkv = (bd_last(x, wqkv_ref[:]) + bqkv_ref[:]).astype(x.dtype)  # (BLK,T,3D)
+
+    o_cat = None
+    for h in range(n_heads):
+        q_h = qkv[:, :, h * dh:(h + 1) * dh]
+        k_h = qkv[:, :, d + h * dh:d + (h + 1) * dh]
+        v_h = qkv[:, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
+        if head_tokens:
+            q_h = q_h[:, :head_tokens]
+        logits = jax.lax.dot_general(
+            q_h, k_h, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (BLK, T_out, T)
+        if t != t_real:
+            logits = logits + key_pad
+        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        o_h = jax.lax.dot_general(
+            probs, v_h, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)  # (BLK, T_out, Dh)
+        o_cat = o_h if o_cat is None else jnp.concatenate([o_cat, o_h], -1)
+    attn = bd_last(o_cat, wo_ref[:]) + bo_ref[:]
+
+    x_res = x[:, :head_tokens] if head_tokens else x
+
+    def layer_norm(v, g_ref, b_ref):
+        v = v.astype(jnp.float32)
+        mu = jnp.mean(v, axis=-1, keepdims=True)
+        var = jnp.mean((v - mu) ** 2, axis=-1, keepdims=True)
+        return ((v - mu) * jax.lax.rsqrt(var + 1e-5)) * g_ref[:] + b_ref[:]
+
+    h1 = layer_norm(x_res.astype(jnp.float32) + attn,
+                    g1_ref, beta1_ref).astype(x.dtype)
+
+    # flat 2-D FFN
+    t_o = h1.shape[1]
+    f = w1_ref.shape[-1]
+    mm2 = lambda a, b: jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    h1f = h1.reshape(blk * t_o, d)
+    ff = jnp.maximum(mm2(h1f, w1_ref[:]) + b1_ref[:].reshape(1, f),
+                     0.0).astype(x.dtype)
+    ff = (mm2(ff, w2_ref[:]) + b2_ref[:].reshape(1, d)).reshape(blk, t_o, d)
+
+    out = layer_norm(h1.astype(jnp.float32) + ff, g2_ref, beta2_ref)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _layer_kernel_bdq(n_heads: int, head_tokens: int, t_real: int,
+                      x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+                      g1_ref, beta1_ref,
+                      w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, beta2_ref,
+                      o_ref):
+    """Block-diagonal-query attention variant of `_layer_kernel_v2`.
+
+    The per-head kernels issue, per point, 8 tiny MXU matmuls (4 heads x
+    logits (T,Dh)@(Dh,T) + apply (T,T)@(T,Dh)) that each use <=32 of the
+    MXU's 128 lanes.  Here the H per-head logits fold into ONE batched
+    matmul: rows h*T..(h+1)*T of a (H*T, D) query matrix hold q_cat
+    lane-masked to head h's channel block, so Q_bd @ K_cat^T contracts the
+    full 128-lane axis yet yields exactly q_h . k_h in the head-h row
+    block (cross-head channels multiply by zero).  Softmax stays 16-wide
+    (same total rows as 4 separate heads), the apply runs as one
+    (H*T, T)@(T, D) matmul against the full V concat, and the per-head
+    outputs are the (token-block h, lane-block h) diagonal blocks of the
+    result.  2 batched matmuls instead of 8, at 4x redundant MACs on
+    zeros/unused lanes — the MXU was idling on lanes anyway.
+    """
+    blk, t, d = x_ref.shape
+    dh = d // n_heads
+    x = x_ref[:]
+
+    scale = 1.0 / math.sqrt(dh)
+    bd_last = lambda a, b: jax.lax.dot_general(
+        a, b, dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    qkv = (bd_last(x, wqkv_ref[:]) + bqkv_ref[:]).astype(x.dtype)  # (BLK,T,3D)
+    q_cat = qkv[:, :, :d]
+    k_cat = qkv[:, :, d:2 * d]
+    v_cat = qkv[:, :, 2 * d:]
+
+    # (BLK, H*T, D): row block h = q_cat masked to head-h lanes
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, d), 2)
+    q_bd = jnp.concatenate(
+        [q_cat * (lane // dh == h).astype(x.dtype) for h in range(n_heads)],
+        axis=1)
+
+    logits = jax.lax.dot_general(
+        q_bd, k_cat, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (BLK, H*T, T)
+    if t != t_real:
+        key_pad = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, 1, t), 2) >= t_real
+        ).astype(jnp.float32) * (-1e9)
+        logits = logits + key_pad
+    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    o_full = jax.lax.dot_general(
+        probs, v_cat, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)  # (BLK, H*T, D)
+
+    t_o = head_tokens if head_tokens else t
+    o_cat = jnp.concatenate(
+        [o_full[:, h * t:h * t + t_o, h * dh:(h + 1) * dh]
+         for h in range(n_heads)], axis=-1)  # (BLK, T_out, D)
+    attn = bd_last(o_cat, wo_ref[:]) + bo_ref[:]
+
+    x_res = x[:, :head_tokens] if head_tokens else x
+
+    def layer_norm(v, g_ref, b_ref):
+        v = v.astype(jnp.float32)
+        mu = jnp.mean(v, axis=-1, keepdims=True)
+        var = jnp.mean((v - mu) ** 2, axis=-1, keepdims=True)
+        return ((v - mu) * jax.lax.rsqrt(var + 1e-5)) * g_ref[:] + b_ref[:]
+
+    h1 = layer_norm(x_res.astype(jnp.float32) + attn,
+                    g1_ref, beta1_ref).astype(x.dtype)
+
+    f = w1_ref.shape[-1]
+    mm2 = lambda a, b: jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    h1f = h1.reshape(blk * t_o, d)
+    ff = jnp.maximum(mm2(h1f, w1_ref[:]) + b1_ref[:].reshape(1, f),
+                     0.0).astype(x.dtype)
+    ff = (mm2(ff, w2_ref[:]) + b2_ref[:].reshape(1, d)).reshape(blk, t_o, d)
+
+    out = layer_norm(h1.astype(jnp.float32) + ff, g2_ref, beta2_ref)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def encoder_kernel_default() -> str:
+    """Production fused-encoder kernel variant: 'perhead', 'v2', 'grouped'.
+
+    Chip-measured (v5e, slope timing — (t(10 chained stacks)-t(2))/8,
+    scalar pull; M=32k, bf16, two sessions): v2 18.6 ms/stack vs perhead
+    18.7 vs flatffn 19.2 (2026-08-19); an earlier session had flatffn
+    17.0 vs perhead 17.6.  v2 (wide qkv + flat FFN) is equal-to-marginally
+    ahead in both, so it is the default; the delta is within session
+    noise.  Env knob SLICE3D_ENCODER_KERNEL overrides;
+    SLICE3D_ENCODER_GROUPED=1 is the legacy grouped switch.
+    """
+    env = os.environ.get("SLICE3D_ENCODER_KERNEL")
+    if env:
+        return env
+    if os.environ.get("SLICE3D_ENCODER_GROUPED"):
+        return "grouped"
+    return "v2"
+
+
 def grouped_attention_default() -> bool:
     """Whether fused_encoder_layer uses the grouped-attention kernel.
 
@@ -201,11 +387,15 @@ def grouped_attention_default() -> bool:
 
 
 def fused_encoder_layer(x, params, *, n_heads: int = 4, head_tokens: int = 0,
-                        grouped: bool | None = None):
+                        grouped: bool | None = None,
+                        kernel_variant: str | None = None):
     """x: (B, M, T, D) tokens -> (B, M, T_out, D).
 
     params: the TransformerEncoderLayer param tree (qkv/out_proj/ff1/ff2
     {kernel, bias}, norm1/norm2 {scale, bias}).
+
+    kernel_variant: 'perhead' | 'v2' | 'grouped' (default: env policy via
+    encoder_kernel_default()).  `grouped=True` is the legacy switch.
     """
     b, m, t, d = x.shape
     f = params["ff1"]["kernel"].shape[1]
@@ -213,8 +403,12 @@ def fused_encoder_layer(x, params, *, n_heads: int = 4, head_tokens: int = 0,
     n = b * m
     dt = x.dtype
     blk = _block_points(dt)
-    if grouped is None:
-        grouped = grouped_attention_default()
+    if kernel_variant is None:
+        if grouped is None:
+            kernel_variant = encoder_kernel_default()
+        else:
+            kernel_variant = "grouped" if grouped else "perhead"
+    grouped = kernel_variant == "grouped"
 
     # pad the token axis to the sublane tile so bf16 layouts stay native;
     # padded keys are masked inside the kernel
@@ -229,12 +423,16 @@ def fused_encoder_layer(x, params, *, n_heads: int = 4, head_tokens: int = 0,
         flat = jnp.pad(flat, ((0, pad_n), (0, t_pad - t), (0, 0)))
     np_ = n + pad_n
 
-    if grouped:
-        group = max(1, 128 // t_pad)
-        while blk % group:
-            group //= 2
-        kernel_g = functools.partial(_layer_kernel_grouped, n_heads,
-                                     head_tokens, t, group)
+    if kernel_variant in ("grouped", "v2", "bdq"):
+        if grouped:
+            group = max(1, 128 // t_pad)
+            while blk % group:
+                group //= 2
+            kernel_g = functools.partial(_layer_kernel_grouped, n_heads,
+                                         head_tokens, t, group)
+        else:
+            kfn = _layer_kernel_bdq if kernel_variant == "bdq" else _layer_kernel_v2
+            kernel_g = functools.partial(kfn, n_heads, head_tokens, t)
         full_g = lambda shape: pl.BlockSpec(
             shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
         row3_g = lambda v: v.reshape(1, 1, -1).astype(jnp.float32)

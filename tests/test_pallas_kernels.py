@@ -97,6 +97,32 @@ def test_grouped_encoder_layer_bf16(monkeypatch):
     assert err < 2e-2, err  # bf16 rounding with different matmul grouping
 
 
+@pytest.mark.parametrize("variant", ["perhead", "v2", "bdq"])
+@pytest.mark.parametrize("head_tokens", [0, 1])
+def test_encoder_kernel_variants_match_reference(monkeypatch, variant,
+                                                 head_tokens):
+    """Every selectable production kernel variant is the same layer."""
+    monkeypatch.setenv("SLICE3D_PALLAS_INTERPRET", "1")
+
+    from slice3d_tpu.models.layers import TransformerEncoder
+    from slice3d_tpu.ops.pallas_encoder import fused_encoder_layer
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(1, 300, 13, 128)).astype(np.float32))
+
+    ref_mod = TransformerEncoder(num_layers=1, final_head_tokens=head_tokens,
+                                 fused_ffn=False)
+    variables = ref_mod.init(jax.random.PRNGKey(5), x)
+    ref = ref_mod.apply(variables, x)
+
+    params = variables["params"]["layer0"]
+    fast = fused_encoder_layer(x, params, n_heads=4, head_tokens=head_tokens,
+                               kernel_variant=variant)
+    assert fast.shape == np.asarray(ref).shape
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               atol=5e-5, rtol=1e-4)
+
+
 def test_fused_ffn_matches_jnp():
     from slice3d_tpu.ops.pallas_ffn import fused_ffn
 

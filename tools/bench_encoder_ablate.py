@@ -320,7 +320,16 @@ def main():
     fns = {
         "full": lambda xx: stack3(
             lambda a, p, head_tokens: pe.fused_encoder_layer(
-                a, p, n_heads=4, head_tokens=head_tokens), xx, plist),
+                a, p, n_heads=4, head_tokens=head_tokens,
+                kernel_variant="perhead"), xx, plist),
+        "v2": lambda xx: stack3(
+            lambda a, p, head_tokens: pe.fused_encoder_layer(
+                a, p, n_heads=4, head_tokens=head_tokens,
+                kernel_variant="v2"), xx, plist),
+        "bdq": lambda xx: stack3(
+            lambda a, p, head_tokens: pe.fused_encoder_layer(
+                a, p, n_heads=4, head_tokens=head_tokens,
+                kernel_variant="bdq"), xx, plist),
         "wideqkv": lambda xx: stack3(
             lambda a, p, head_tokens: variant_layer(
                 a, p, "wideqkv", head_tokens=head_tokens), xx, plist),
