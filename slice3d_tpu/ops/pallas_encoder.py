@@ -353,14 +353,16 @@ def _layer_kernel_bdq(n_heads: int, head_tokens: int, t_real: int,
 
 
 def encoder_kernel_default() -> str:
-    """Production fused-encoder kernel variant: 'perhead', 'v2', 'grouped'.
+    """Production fused-encoder kernel variant: 'bdq', 'v2', 'perhead',
+    'grouped'.
 
     Chip-measured (v5e, slope timing — (t(10 chained stacks)-t(2))/8,
-    scalar pull; M=32k, bf16, two sessions): v2 18.6 ms/stack vs perhead
-    18.7 vs flatffn 19.2 (2026-08-19); an earlier session had flatffn
-    17.0 vs perhead 17.6.  v2 (wide qkv + flat FFN) is equal-to-marginally
-    ahead in both, so it is the default; the delta is within session
-    noise.  Env knob SLICE3D_ENCODER_KERNEL overrides;
+    scalar pull; M=32k, bf16, one process so drift cancels, 2026-08-19):
+    bdq 13.88 ms/stack (2.36 M pts/s, ~68% analytic MFU) vs perhead 17.45
+    (1.88) vs v2 19.41 (1.69) — the block-diagonal-query attention is
+    ~26% faster than the per-head kernel and is the default.  perhead/v2
+    are within session noise of each other (v2 measured 18.6 vs perhead
+    18.7 in an earlier run).  Env knob SLICE3D_ENCODER_KERNEL overrides;
     SLICE3D_ENCODER_GROUPED=1 is the legacy grouped switch.
     """
     env = os.environ.get("SLICE3D_ENCODER_KERNEL")
@@ -368,7 +370,7 @@ def encoder_kernel_default() -> str:
         return env
     if os.environ.get("SLICE3D_ENCODER_GROUPED"):
         return "grouped"
-    return "v2"
+    return "bdq"
 
 
 def grouped_attention_default() -> bool:
