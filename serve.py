@@ -34,6 +34,7 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
@@ -122,13 +123,21 @@ class Slice3DService:
 
     def warmup(self):
         img = np.zeros((self.opts.img_size, self.opts.img_size, 3), np.float32)
+        feeds = [self._feed_of(img)] * self.batch_size
         if self.batch_size > 1:
             # compile the padded batched shape the worker will dispatch
-            feeds = [self._feed_of(img)] * self.batch_size
             with self._lock:
                 self.recon.reconstruct_batch(feeds)
         else:
             self.reconstruct_array(img)
+        # Pre-compile the per-level chunk-count buckets real objects hit —
+        # a bucket miss is a fresh multi-second XLA compile inside a served
+        # request.  SLICE3D_WARM_KBUCKETS: comma list; empty string skips.
+        spec = os.environ.get("SLICE3D_WARM_KBUCKETS", "1,2,3,4,6,8,12,16")
+        if spec.strip():
+            buckets = tuple(int(v) for v in spec.split(",") if v.strip())
+            with self._lock:
+                self.recon.warm(feeds, buckets)
 
     # -- micro-batching ---------------------------------------------------
 

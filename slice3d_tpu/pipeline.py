@@ -607,6 +607,47 @@ class Reconstructor:
         stats["time_marching"] = time.perf_counter() - t0
         return mesh
 
+    def warm(self, feeds: Sequence[Dict[str, np.ndarray]],
+             k_buckets: Sequence[int] = (1, 2, 3, 4, 6, 8, 12, 16)):
+        """Pre-compile the per-level query specializations a serving
+        workload can hit.
+
+        The per-level dispatch re-specializes on the padded chunk count k
+        (the 1/1.5-pow2 grid of :meth:`_pad_k`); real objects hit k values
+        a single warmup reconstruction never visits, and each miss is a
+        fresh multi-second XLA compile in the middle of a served request
+        (measured on the tunneled v5e: a 4-object microbatch group at
+        256^3-effective stalled ~20 s on its first unseen bucket, turning
+        the micro-batching speedup into a 0.44x slowdown).  ``res`` is a
+        traced scalar, so ONE compile per k covers every refinement level.
+        Each bucket's dummy evaluation also runs (device time is trivial
+        next to the compile), leaving both the in-process executable cache
+        and the persistent on-disk cache hot.
+
+        feeds: exactly ``batch_size`` feed dicts (shape donors only — the
+        values are irrelevant).  Returns the sorted list of padded k
+        values compiled.
+        """
+        feeds = list(feeds)[: self.batch_size]
+        saved_caps = list(self._cap_seen)  # keep fused-cap learning honest
+        try:
+            cond = self._conditioned_fns(feeds)
+            ev = cond["evaluator"]
+            res = int(self.generator.resolution0) * 2
+            c = self.chunk_size
+            seen = set()
+            for k in k_buckets:
+                kp = self._pad_k(int(k))
+                if kp in seen:
+                    continue
+                seen.add(kp)
+                idxs = [np.zeros(kp * c, np.int32)]
+                idxs += [np.zeros(0, np.int32)] * (len(feeds) - 1)
+                ev(idxs, res)
+        finally:
+            self._cap_seen = saved_caps
+        return sorted(seen)
+
     def reconstruct(self, feed: Dict[str, np.ndarray]) -> Tuple[Mesh, Dict]:
         """feed: one dataset sample (unbatched numpy dict)."""
         from functools import partial

@@ -13,6 +13,9 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# Serving warmup pre-compiles many chunk-count buckets (production default);
+# in tests one bucket keeps the code path covered without the compile bill.
+os.environ.setdefault("SLICE3D_WARM_KBUCKETS", "1")
 
 # This JAX build defaults matmuls/convs to reduced (bf16-class) precision
 # even on CPU; parity tests need fp32 math.  The env var is not honored by

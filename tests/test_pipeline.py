@@ -252,3 +252,26 @@ def test_fused_levels_cap_overflow_falls_back(recon):
     g_of, _, _ = fused._build_grid(feed)
     np.testing.assert_array_equal(g_classic, g_of)
     assert fused._cap_seen[0] == seen[0]  # cap re-learned from the fallback
+
+
+def test_warm_precompiles_buckets_and_serving_still_exact(recon):
+    """Reconstructor.warm compiles the padded-k specializations without
+    corrupting state: results after warm() match a cold Reconstructor,
+    and the fused-cap learning is untouched by the dummy evaluations."""
+    model, variables = recon.model, recon.variables
+    warmed = Reconstructor(
+        model, variables, resolution0=8, upsampling_steps=1,
+        chunk_size=1024, batch_size=2,
+    )
+    feeds = [make_feed(10), make_feed(11)]
+    buckets = warmed.warm(feeds, k_buckets=(1, 2, 5))
+    assert buckets == [1, 2, 6]          # 5 pads to 6 on the 1/1.5-pow2 grid
+    assert warmed._cap_seen == [0]       # dummy evals must not teach caps
+
+    out = warmed.reconstruct_batch(feeds)
+    for (mesh, _), feed in zip(out, feeds):
+        ref_mesh, _ = recon.reconstruct(feed)
+        assert len(mesh.vertices) == len(ref_mesh.vertices)
+        if len(mesh.vertices):
+            np.testing.assert_allclose(mesh.vertices, ref_mesh.vertices,
+                                       atol=1e-5)
