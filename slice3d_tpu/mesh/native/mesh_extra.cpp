@@ -3,6 +3,7 @@
 // by the reference's vendored libsimplify / libmesh / libvoxelize.
 
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <cmath>
@@ -479,6 +480,33 @@ int s3d_voxelize(const float* verts, int64_t nv, const int64_t* faces,
         }
   }
   return 0;
+}
+
+// Wavefront OBJ text serialization ("v %.6f %.6f %.6f\n" rows then
+// "f %lld %lld %lld\n" 1-indexed rows — byte-identical to the Python
+// formatter it replaces; see slice3d_tpu/mesh/__init__.py::obj_string).
+// The serving path emits ~150k-vertex meshes per response at the
+// full-quality operating point; the per-row Python f-string loop cost
+// ~1 s/response on a 1-core host, native snprintf runs ~10x faster.
+// Returns bytes written, or -1 if `cap` would be exceeded.
+int64_t s3d_obj_serialize(const float* verts, int64_t nv,
+                          const int64_t* faces, int64_t nf,
+                          char* out, int64_t cap) {
+  int64_t at = 0;
+  // worst case per row is bounded (checked against remaining capacity)
+  for (int64_t i = 0; i < nv; ++i) {
+    if (cap - at < 64) return -1;
+    at += snprintf(out + at, (size_t)(cap - at), "v %.6f %.6f %.6f\n",
+                   verts[3 * i], verts[3 * i + 1], verts[3 * i + 2]);
+  }
+  for (int64_t i = 0; i < nf; ++i) {
+    if (cap - at < 64) return -1;
+    at += snprintf(out + at, (size_t)(cap - at), "f %lld %lld %lld\n",
+                   (long long)(faces[3 * i] + 1),
+                   (long long)(faces[3 * i + 1] + 1),
+                   (long long)(faces[3 * i + 2] + 1));
+  }
+  return at;
 }
 
 }  // extern "C"

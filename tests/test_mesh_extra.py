@@ -94,3 +94,18 @@ def test_voxelize_sphere_shell():
     centers = (idx + 0.5) / 24 - 0.5
     r = np.linalg.norm(centers, axis=1)
     assert (np.abs(r - 0.35) < 0.08).mean() > 0.95
+
+
+def test_obj_serialize_native_matches_python():
+    """Native OBJ serializer is byte-identical to the Python formatter,
+    including negative coords, -0.0, and 1-indexed faces."""
+    from slice3d_tpu.mesh import Mesh, _obj_string_py, obj_string
+
+    rng = np.random.default_rng(7)
+    verts = (rng.normal(size=(997, 3)) * 0.7).astype(np.float32)
+    verts[0] = [-0.0, 0.5, -0.5]
+    faces = rng.integers(0, 997, (1501, 3)).astype(np.int64)
+    mesh = Mesh(vertices=verts, faces=faces)
+    assert obj_string(mesh) == _obj_string_py(mesh)
+    assert obj_string(Mesh(np.zeros((0, 3), np.float32),
+                           np.zeros((0, 3), np.int64))) == ""
