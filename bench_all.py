@@ -300,7 +300,7 @@ def config5():
     feeds = [{"img_slices": np.asarray(slices[i], np.float32),
               "trans_mat_wo_rot_tp": proj.astype(np.float32)}
              for i in range(bs)]
-    opm, dt = _objects_per_min(recon, feeds)
+    opm, dt, _healthy, _n_stalls = _objects_per_min(recon, feeds)
     per_obj = t_gen / bs + dt / bs
     return {"config": 5, "metric": "generation_e2e_s_per_object",
             "operating_point": f"{sampler}={steps},bs={bs},res0=64,up=2",

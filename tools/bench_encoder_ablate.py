@@ -230,10 +230,94 @@ def variant_layer(x, params, mode, *, n_heads=4, head_tokens=0):
     orig = pe._layer_kernel
     pe._layer_kernel = functools.partial(_variant_kernel, mode)
     try:
+        # pin the perhead code path: the production default is bdq now,
+        # and the swapped kernel only runs on the perhead path
         return pe.fused_encoder_layer(x, params, n_heads=n_heads,
-                                      head_tokens=head_tokens)
+                                      head_tokens=head_tokens,
+                                      kernel_variant="perhead")
     finally:
         pe._layer_kernel = orig
+
+
+def _bdq_variant_kernel(mode, n_heads, head_tokens, t_real,
+                        x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+                        g1_ref, beta1_ref,
+                        w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, beta2_ref,
+                        o_ref):
+    """pe._layer_kernel_bdq with stage ablations: 'noattn' replaces the
+    logits/softmax/apply with a pass-through of v (per-head lane blocks),
+    'noffn' stops after the first LayerNorm."""
+    blk, t, d = x_ref.shape
+    dh = d // n_heads
+    x = x_ref[:]
+    scale = 1.0 / math.sqrt(dh)
+    bd_last = lambda a, b: jax.lax.dot_general(
+        a, b, dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    qkv = (bd_last(x, wqkv_ref[:]) + bqkv_ref[:]).astype(x.dtype)
+    q_cat = qkv[:, :, :d]
+    k_cat = qkv[:, :, d:2 * d]
+    v_cat = qkv[:, :, 2 * d:]
+    t_o = head_tokens if head_tokens else t
+
+    if mode == "noattn":
+        o_cat = v_cat[:, :t_o]
+    else:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, d), 2)
+        q_bd = jnp.concatenate(
+            [q_cat * (lane // dh == h).astype(x.dtype)
+             for h in range(n_heads)], axis=1)
+        logits = jax.lax.dot_general(
+            q_bd, k_cat, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        if t != t_real:
+            key_pad = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, t), 2)
+                       >= t_real).astype(jnp.float32) * (-1e9)
+            logits = logits + key_pad
+        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        o_full = jax.lax.dot_general(
+            probs, v_cat, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(x.dtype)
+        o_cat = jnp.concatenate(
+            [o_full[:, h * t:h * t + t_o, h * dh:(h + 1) * dh]
+             for h in range(n_heads)], axis=-1)
+    attn = bd_last(o_cat, wo_ref[:]) + bo_ref[:]
+    x_res = x[:, :head_tokens] if head_tokens else x
+
+    def layer_norm(v, g_ref, b_ref):
+        v = v.astype(jnp.float32)
+        mu = jnp.mean(v, axis=-1, keepdims=True)
+        var = jnp.mean((v - mu) ** 2, axis=-1, keepdims=True)
+        return ((v - mu) * jax.lax.rsqrt(var + 1e-5)) * g_ref[:] + b_ref[:]
+
+    h1 = layer_norm(x_res.astype(jnp.float32) + attn,
+                    g1_ref, beta1_ref).astype(x.dtype)
+    if mode == "noffn":
+        o_ref[:] = h1.astype(o_ref.dtype)
+        return
+    f = w1_ref.shape[-1]
+    mm2 = lambda a, b: jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    h1f = h1.reshape(blk * t_o, d)
+    ff = jnp.maximum(mm2(h1f, w1_ref[:]) + b1_ref[:].reshape(1, f),
+                     0.0).astype(x.dtype)
+    ff = (mm2(ff, w2_ref[:]) + b2_ref[:].reshape(1, d)).reshape(blk, t_o, d)
+    out = layer_norm(h1.astype(jnp.float32) + ff, g2_ref, beta2_ref)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def bdq_variant_layer(x, params, mode, *, n_heads=4, head_tokens=0):
+    """fused_encoder_layer(bdq) with `_layer_kernel_bdq` swapped."""
+    orig = pe._layer_kernel_bdq
+    pe._layer_kernel_bdq = functools.partial(_bdq_variant_kernel, mode)
+    try:
+        return pe.fused_encoder_layer(x, params, n_heads=n_heads,
+                                      head_tokens=head_tokens,
+                                      kernel_variant="bdq")
+    finally:
+        pe._layer_kernel_bdq = orig
 
 
 def xla_layer(x, params, *, n_heads=4, head_tokens=0):
@@ -330,6 +414,12 @@ def main():
             lambda a, p, head_tokens: pe.fused_encoder_layer(
                 a, p, n_heads=4, head_tokens=head_tokens,
                 kernel_variant="bdq"), xx, plist),
+        "bdq_noattn": lambda xx: stack3(
+            lambda a, p, head_tokens: bdq_variant_layer(
+                a, p, "noattn", head_tokens=head_tokens), xx, plist),
+        "bdq_noffn": lambda xx: stack3(
+            lambda a, p, head_tokens: bdq_variant_layer(
+                a, p, "noffn", head_tokens=head_tokens), xx, plist),
         "wideqkv": lambda xx: stack3(
             lambda a, p, head_tokens: variant_layer(
                 a, p, "wideqkv", head_tokens=head_tokens), xx, plist),
