@@ -104,15 +104,20 @@ def sample_packed_sum(
         hat_max_rows = _hat_max_rows_default()
     total, packed = hat_sample_sum(packed, uv, obj_index=obj_index,
                                    max_rows=hat_max_rows)
+    patch = _gather_mode_default() == "patch"
     for plane in packed:
         _, h, w, sd = plane.shape
         if obj_index is not None:
             # row i of uv samples plane set obj_index[i]; at the b == 1
             # scan step this is a dynamic slice fused into the gather
             plane = jnp.take(plane, obj_index.astype(jnp.int32), axis=0)
-        flat_plane = plane.reshape(b, h * w, sd)
         px = (x + 1.0) * 0.5 * (w - 1)
         py = (y + 1.0) * 0.5 * (h - 1)
+        if patch:
+            s = _sample_patch_gather(plane, px, py)
+            total = s if total is None else total + s
+            continue
+        flat_plane = plane.reshape(b, h * w, sd)
         x0 = jnp.floor(px)
         y0 = jnp.floor(py)
         wx = (px - x0).astype(plane.dtype)
@@ -135,6 +140,53 @@ def sample_packed_sum(
         )
         total = s if total is None else total + s
     return total.reshape(b, m, n_slices, -1)
+
+
+def _gather_mode_default() -> str:
+    """'rows' = four take_along_axis row gathers (round-3 default);
+    'patch' = ONE lax.gather of a (2,2,C) corner patch per level.  The
+    patch mode is exact on the model path (project_points clamps uv to
+    [-1, 1], so the clamped-corner weight recompute reproduces the
+    zero-padded 4-corner sum bit-for-bit in-range) and moves the same
+    bytes with 4x fewer gather descriptors."""
+    import os
+
+    return os.environ.get("SLICE3D_GATHER", "rows")
+
+
+def _sample_patch_gather(plane: jnp.ndarray, px: jnp.ndarray,
+                         py: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample via ONE (2,2,C) patch lax.gather per level.
+
+    plane: (B, h, w, C); px/py: (B, M) pixel coords (align_corners scaling
+    already applied, in-range).  Returns (B, M, C).
+    """
+    b, h, w, c = plane.shape
+    # clamp the patch origin so the 2x2 window stays in-bounds; the
+    # recomputed fractional weights stay exact for in-range coords
+    # (at px == w-1: x0 = w-2, wx = 1 -> full weight on the true corner)
+    x0 = jnp.clip(jnp.floor(px), 0, max(w - 2, 0))
+    y0 = jnp.clip(jnp.floor(py), 0, max(h - 2, 0))
+    wx = (px - x0).astype(plane.dtype)[..., None]
+    wy = (py - y0).astype(plane.dtype)[..., None]
+    starts = jnp.stack([y0, x0], axis=-1).astype(jnp.int32)  # (B, M, 2)
+
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),
+        collapsed_slice_dims=(),
+        start_index_map=(0, 1),
+    )
+
+    def one(pl, st):
+        return jax.lax.gather(
+            pl, st, dnums, slice_sizes=(2, 2, c),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+        )  # (M, 2, 2, C)
+
+    patch = jax.vmap(one)(plane, starts)  # (B, M, 2, 2, C)
+    top = patch[:, :, 0, 0] * (1 - wx) + patch[:, :, 0, 1] * wx
+    bot = patch[:, :, 1, 0] * (1 - wx) + patch[:, :, 1, 1] * wx
+    return top * (1 - wy) + bot * wy
 
 
 def sample_slice_pyramids_sum(

@@ -64,3 +64,39 @@ def test_hat_obj_index_selects_plane_set():
         ref = _gather_ref(planes[oid:oid + 1], uv)
         np.testing.assert_allclose(np.asarray(total), np.asarray(ref),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_patch_gather_matches_rows():
+    """The (2,2,C) patch lax.gather equals the 4x row-gather path on
+    clamped coords, including exact corners/edges (SLICE3D_GATHER=patch)."""
+    import os
+
+    from slice3d_tpu.models import sdf_head as sh
+
+    rng = np.random.default_rng(4)
+    packed = [jnp.asarray(rng.normal(size=(2, hw, hw, 24)).astype(np.float32))
+              for hw in (64, 16)]
+    uv = np.clip(rng.uniform(-1.2, 1.2, (2, 97, 2)), -1, 1).astype(np.float32)
+    uv[0, :4] = [[-1, -1], [1, 1], [1, -1], [0.999999, 0.5]]
+    uv = jnp.asarray(uv)
+    old = os.environ.get("SLICE3D_GATHER")
+    try:
+        os.environ["SLICE3D_GATHER"] = "rows"
+        ref = sh.sample_packed_sum(packed, uv, 12, hat_max_rows=0)
+        os.environ["SLICE3D_GATHER"] = "patch"
+        got = sh.sample_packed_sum(packed, uv, 12, hat_max_rows=0)
+        oi = jnp.asarray([1])
+        got1 = sh.sample_packed_sum(packed, uv[:1], 12, obj_index=oi,
+                                    hat_max_rows=0)
+        os.environ["SLICE3D_GATHER"] = "rows"
+        ref1 = sh.sample_packed_sum(packed, uv[:1], 12, obj_index=oi,
+                                    hat_max_rows=0)
+    finally:
+        if old is None:
+            os.environ.pop("SLICE3D_GATHER", None)
+        else:
+            os.environ["SLICE3D_GATHER"] = old
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(ref1),
+                               atol=1e-5, rtol=1e-5)
