@@ -51,6 +51,34 @@ def _vs_twin_opm(objects_per_min):
     return round(ratio, 1), twin["baseline_source"]
 
 
+V5E_BF16_PEAK = 197e12
+
+
+def _train_step_flops(cfg):
+    """Analytic FLOPs of the config-6/7 train step via XLA's cost model.
+
+    Runs tools/train_flops.py in a SUBPROCESS (CPU lowering only): the
+    axon remote-compile path returns a stub cost analysis, so the parent
+    process holding the TPU backend cannot lower-and-count in-process.
+    Skippable via BENCH_SKIP_MFU=1 (the lowering costs ~1-2 min/config on
+    this 1-core host)."""
+    if ENV("BENCH_SKIP_MFU"):
+        return None
+    import subprocess
+    import sys
+    tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "train_flops.py")
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("JAX_", "XLA_", "TPU"))}
+    try:
+        out = subprocess.run([sys.executable, tool, str(cfg)], env=env,
+                             capture_output=True, text=True, timeout=900)
+        return float(json.loads(out.stdout.strip().splitlines()[-1])
+                     ["flops_per_step"])
+    except Exception:
+        return None
+
+
 def _median(f, repeats, warmup=1):
     for _ in range(warmup):
         f()
@@ -402,12 +430,16 @@ def config6():
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    flops = _train_step_flops(6)
     return {"config": 6, "metric": "regression_train_steps_per_s",
             "operating_point": f"bs={bs},qry={n_qry},img={img},3-term loss",
             "value": round(sps, 3), "unit": "steps/s",
             "vs_baseline": None,
             "samples_per_s": round(sps * bs, 2),
             "step_latency_s": round(dt / n_steps, 4),
+            "train_step_tflops": round(flops / 1e12, 2) if flops else None,
+            "train_mfu_bf16": round(flops * sps / V5E_BF16_PEAK, 4)
+            if flops else None,
             "input_pipeline_fraction": loader_frac}
 
 
@@ -453,12 +485,16 @@ def config7():
 
     dt = _timed_steps(step_once, n_steps)
     sps = n_steps / dt
+    flops = None if ENV("BENCH7_TINY") else _train_step_flops(7)
     return {"config": 7, "metric": "ldm_train_steps_per_s",
             "operating_point": f"bs={bs},{img}px,ema=on",
             "value": round(sps, 3), "unit": "steps/s",
             "vs_baseline": None,
             "samples_per_s": round(sps * bs, 2),
-            "step_latency_s": round(dt / n_steps, 4)}
+            "step_latency_s": round(dt / n_steps, 4),
+            "train_step_tflops": round(flops / 1e12, 2) if flops else None,
+            "train_mfu_bf16": round(flops * sps / V5E_BF16_PEAK, 4)
+            if flops else None}
 
 
 def config8():
