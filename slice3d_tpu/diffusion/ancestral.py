@@ -66,8 +66,10 @@ def ddpm_sample(
         ``start_T``/``timesteps`` clamp, ddpm.py:1288-1291); default all.
       clip_denoised: clamp the x0 estimate to [-1, 1] (ddpm.py:1169).
       temperature: scalar multiplier on the injected posterior noise.
-      log_every_t: when set, also return stacked intermediates
-        (n_log, B, H, W, C) per the reference's logging rule.
+      log_every_t: when set, also return stacked intermediates per the
+        reference's logging rule: (n_log + 1, B, H, W, C) for record="x"
+        (row 0 is the seeded initial noise, mirroring the reference's
+        ``intermediates = [img]``), (n_log, B, H, W, C) for "pred_x0".
       record: which intermediate to log — "x" (the chain state, as
         ``p_sample_loop``) or "pred_x0" (the running x0 estimate, as
         ``progressive_denoising``).

@@ -493,18 +493,25 @@ int64_t s3d_obj_serialize(const float* verts, int64_t nv,
                           const int64_t* faces, int64_t nf,
                           char* out, int64_t cap) {
   int64_t at = 0;
-  // worst case per row is bounded (checked against remaining capacity)
+  // worst case per row is bounded (checked against remaining capacity);
+  // snprintf returns the bytes it WOULD have written, so a truncated row
+  // (pathological coords wider than the 64 B/row budget) must fail over
+  // to the Python serializer rather than advance `at` past real bytes
   for (int64_t i = 0; i < nv; ++i) {
     if (cap - at < 64) return -1;
-    at += snprintf(out + at, (size_t)(cap - at), "v %.6f %.6f %.6f\n",
-                   verts[3 * i], verts[3 * i + 1], verts[3 * i + 2]);
+    int n = snprintf(out + at, (size_t)(cap - at), "v %.6f %.6f %.6f\n",
+                     verts[3 * i], verts[3 * i + 1], verts[3 * i + 2]);
+    if (n < 0 || n >= cap - at) return -1;
+    at += n;
   }
   for (int64_t i = 0; i < nf; ++i) {
     if (cap - at < 64) return -1;
-    at += snprintf(out + at, (size_t)(cap - at), "f %lld %lld %lld\n",
-                   (long long)(faces[3 * i] + 1),
-                   (long long)(faces[3 * i + 1] + 1),
-                   (long long)(faces[3 * i + 2] + 1));
+    int n = snprintf(out + at, (size_t)(cap - at), "f %lld %lld %lld\n",
+                     (long long)(faces[3 * i] + 1),
+                     (long long)(faces[3 * i + 1] + 1),
+                     (long long)(faces[3 * i + 2] + 1));
+    if (n < 0 || n >= cap - at) return -1;
+    at += n;
   }
   return at;
 }

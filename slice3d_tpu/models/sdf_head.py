@@ -113,7 +113,9 @@ def sample_packed_sum(
             plane = jnp.take(plane, obj_index.astype(jnp.int32), axis=0)
         px = (x + 1.0) * 0.5 * (w - 1)
         py = (y + 1.0) * 0.5 * (h - 1)
-        if patch:
+        if patch and h >= 2 and w >= 2:
+            # (2,2,C) slice_sizes require both plane dims >= 2; 1-wide
+            # planes fall through to the rows path
             s = _sample_patch_gather(plane, px, py)
             total = s if total is None else total + s
             continue
@@ -159,9 +161,18 @@ def _sample_patch_gather(plane: jnp.ndarray, px: jnp.ndarray,
     """Bilinear sample via ONE (2,2,C) patch lax.gather per level.
 
     plane: (B, h, w, C); px/py: (B, M) pixel coords (align_corners scaling
-    already applied, in-range).  Returns (B, M, C).
+    already applied).  Returns (B, M, C).  Out-of-range coords reproduce
+    the rows path's zero-padding semantics via separable edge attenuation:
+    zero-padded bilinear factors as hat(px)*hat(py), so sampling at the
+    clamped coordinate and scaling by relu(1 - |px - clip(px)|) per axis
+    is exact both in-range (factor 1) and in the one-pixel border band.
     """
     b, h, w, c = plane.shape
+    edge = (jnp.maximum(1.0 - jnp.abs(px - jnp.clip(px, 0, w - 1)), 0.0)
+            * jnp.maximum(1.0 - jnp.abs(py - jnp.clip(py, 0, h - 1)), 0.0)
+            ).astype(plane.dtype)[..., None]
+    px = jnp.clip(px, 0, w - 1)
+    py = jnp.clip(py, 0, h - 1)
     # clamp the patch origin so the 2x2 window stays in-bounds; the
     # recomputed fractional weights stay exact for in-range coords
     # (at px == w-1: x0 = w-2, wx = 1 -> full weight on the true corner)
@@ -186,7 +197,7 @@ def _sample_patch_gather(plane: jnp.ndarray, px: jnp.ndarray,
     patch = jax.vmap(one)(plane, starts)  # (B, M, 2, 2, C)
     top = patch[:, :, 0, 0] * (1 - wx) + patch[:, :, 0, 1] * wx
     bot = patch[:, :, 1, 0] * (1 - wx) + patch[:, :, 1, 1] * wx
-    return top * (1 - wy) + bot * wy
+    return (top * (1 - wy) + bot * wy) * edge
 
 
 def sample_slice_pyramids_sum(

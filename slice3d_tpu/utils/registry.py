@@ -37,13 +37,18 @@ ALIASES: Dict[str, str] = {
 
 
 class NoOp:
-    """Explicit no-op target for placeholder config entries."""
+    """Explicit no-op target for placeholder config entries.
+
+    Aliased from the reference's ``torch.nn.Identity`` placeholder
+    lossconfig, so calling it passes its first argument through
+    (identity semantics) rather than silently returning None.
+    """
 
     def __init__(self, *args, **kwargs):
         pass
 
     def __call__(self, *args, **kwargs):
-        return None
+        return args[0] if args else None
 
 # Reference param names that have no meaning in the TPU build (device/layout
 # details handled elsewhere) — dropped with a note instead of erroring.
