@@ -49,10 +49,11 @@ def get_parser():
     p.add_argument("--val_every", type=int, default=2000)
     p.add_argument("--ddim_steps", type=int, default=200)
     p.add_argument("--sampler", type=str, default="ddim",
-                   choices=["ddim", "dpm", "ancestral"],
+                   choices=["ddim", "dpm", "plms", "ancestral"],
                    help="dpm = DPM-Solver++(2M): DDIM-200-class quality "
                         "in ~20-30 steps (pair with --ddim_steps 20); "
-                        "ancestral = full-T DDPM p_sample_loop")
+                        "plms = pseudo linear multistep (eta 0, reference "
+                        "plms.py); ancestral = full-T DDPM p_sample_loop")
     p.add_argument("--log_progressive_rows", action="store_true",
                    help="also log full-T progressive-denoise and forward-"
                         "diffusion rows at --log_images_every (reference "

@@ -291,8 +291,9 @@ class LDMTrainer:
 
         sampler: "ddim" (reference semantics, eta-stochastic), "dpm"
         (DPM-Solver++(2M), deterministic — same endpoint as DDIM eta=0
-        in ~10x fewer steps; see diffusion/dpm.py), or "ancestral"
-        (full-T DDPM p_sample_loop, reference ddpm.py:1270-1306).
+        in ~10x fewer steps; see diffusion/dpm.py), "plms" (pseudo linear
+        multistep, reference plms.py:11-236; requires eta=0), or
+        "ancestral" (full-T DDPM p_sample_loop, reference ddpm.py:1270-1306).
 
         guidance_scale != 1 enables classifier-free guidance (reference
         ddim.py:168-175) against ``uncond`` conditioning (defaults to
@@ -326,6 +327,11 @@ class LDMTrainer:
         elif sampler == "ddim":
             ddim = DDIMParams.create(self.schedule, ddim_steps, eta)
             atlas = ddim_sample(eps_fn, ddim, rng, (b, h, h, 4))
+        elif sampler == "plms":
+            from ..diffusion.plms import plms_sample
+
+            ddim = DDIMParams.create(self.schedule, ddim_steps, 0.0)
+            atlas = plms_sample(eps_fn, ddim, rng, (b, h, h, 4))
         elif sampler == "ancestral":
             atlas, _ = ddpm_sample(eps_fn, self.schedule, rng, (b, h, h, 4),
                                    clip_denoised=False)
