@@ -356,6 +356,34 @@ def _timed_steps(step_once, n_steps, warmup=2):
     return time.perf_counter() - t0
 
 
+def _device_batch(batch, mesh):
+    """Pre-put the bench batch on device ONCE (device_put on an already
+    correctly-sharded jax.Array is a no-op, so the trainer's internal
+    put_batch stops re-uploading).
+
+    The round-4 config-6/7 numbers re-uploaded the SAME host batch every
+    step through the tunnel (~50 MB/s): config 6's 41 MB batch alone is
+    ~0.9 s of its 1.26 s step — those rows measured the tunnel's h2d, not
+    the chip.  A real train loop prefetches/overlaps h2d (BatchLoader),
+    and on a directly-attached host the transfer is sub-ms; steady-state
+    device throughput is the number MFU is defined over.  The one-time
+    h2d cost is measured and reported alongside as ``h2d_batch_s``.
+    """
+    import jax
+
+    from slice3d_tpu.parallel import put_batch
+
+    t0 = time.perf_counter()
+    dev = put_batch(batch, mesh)
+    # sync the transfers with a full pull of the SMALLEST leaf (a direct
+    # d2h, no compiled program; slicing would compile one tiny program
+    # per leaf shape, which costs ~30 s/shape through the tunnel)
+    smallest = min(jax.tree_util.tree_leaves(dev), key=lambda x: x.size)
+    np.asarray(smallest)
+    h2d_s = time.perf_counter() - t0
+    return dev, round(h2d_s, 4)
+
+
 def config6():
     """Regression TRAINING throughput (reference operating point:
     bs 16, 128^2 images, 256 query points, Adam 3e-4, full 3-term loss
@@ -390,6 +418,7 @@ def config6():
             np.eye(4, 3, dtype=np.float32), (bs, 4, 3)).copy(),
     }
 
+    batch, h2d_s = _device_batch(batch, trainer.mesh)
     box = {"state": state}
 
     def step_once(sync=True):
@@ -440,6 +469,8 @@ def config6():
             "train_step_tflops": round(flops / 1e12, 2) if flops else None,
             "train_mfu_bf16": round(flops * sps / V5E_BF16_PEAK, 4)
             if flops else None,
+            "batch_residency": "device (h2d prefetched; see _device_batch)",
+            "h2d_batch_s": h2d_s,
             "input_pipeline_fraction": loader_frac}
 
 
@@ -475,6 +506,7 @@ def config7():
         "img_ipt_view": rng.normal(size=(bs, img, img, 3)).astype(np.float32),
     }
 
+    batch, h2d_s = _device_batch(batch, trainer.mesh)
     box = {"state": trainer.init_state(), "i": 0}
 
     def step_once(sync=True):
@@ -494,7 +526,9 @@ def config7():
             "step_latency_s": round(dt / n_steps, 4),
             "train_step_tflops": round(flops / 1e12, 2) if flops else None,
             "train_mfu_bf16": round(flops * sps / V5E_BF16_PEAK, 4)
-            if flops else None}
+            if flops else None,
+            "batch_residency": "device (h2d prefetched; see _device_batch)",
+            "h2d_batch_s": h2d_s}
 
 
 def config8():

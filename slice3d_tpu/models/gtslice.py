@@ -19,6 +19,7 @@ from flax import linen as nn
 
 from .sdf_head import (
     SDFTransformerHead,
+    maybe_quad_pack,
     pack_planes,
     prepare_queries,
     sample_packed_sum,
@@ -76,7 +77,7 @@ class GTSliceModel(nn.Module):
         """Encode, fold the first local layer into the planes, and pack the
         slice axis into gather-friendly wide rows (inference)."""
         folded = self.head.fold_pyramids(self.encode(img_slices))
-        return pack_planes(folded, self.n_slices)
+        return maybe_quad_pack(pack_planes(folded, self.n_slices))
 
     def query_folded(self, packed, qry, trans_mat_tp, obj_index=None) -> jnp.ndarray:
         """Fast query over folded packed planes — exact, far less gather

@@ -59,6 +59,57 @@ def pack_planes(planes: Sequence[jnp.ndarray], n_slices: int):
     return packed
 
 
+def quad_pack(plane: jnp.ndarray) -> jnp.ndarray:
+    """(B, h, w, C) -> (B, h, w, 4C) with row (y, x) carrying the 2x2 cell
+    ``[p(y,x), p(y,x+1), p(y+1,x), p(y+1,x+1)]`` (zero-padded past the
+    edge; edge rows are never gathered — cell origins clamp to w-2/h-2).
+
+    One gathered 4C row then carries ALL FOUR bilinear corners: identical
+    bytes moved per point as the 4-corner rows path, but 4x fewer gather
+    descriptors and 4x larger DMAs — the round-4 gather ablation measured
+    the 4x3KB row gathers 3.1x off bytes-SOL and attributed the gap to
+    small-row DMA inefficiency, which this directly attacks.  Costs 4x
+    plane storage on the quad-routed levels; built once per object at
+    encode time.
+    """
+    zx = jnp.zeros_like(plane[:, :, :1])
+    px1 = jnp.concatenate([plane[:, :, 1:], zx], axis=2)
+    zy = jnp.zeros_like(plane[:, :1])
+    py1 = jnp.concatenate([plane[:, 1:], zy], axis=1)
+    pxy1 = jnp.concatenate([px1[:, 1:], jnp.zeros_like(px1[:, :1])], axis=1)
+    return jnp.concatenate([plane, px1, py1, pxy1], axis=-1)
+
+
+def _sample_quad(plane4: jnp.ndarray, px: jnp.ndarray,
+                 py: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample via ONE row gather of a quad-packed plane.
+
+    plane4: (B, h, w, 4C) from :func:`quad_pack`; px/py: (B, M) pixel
+    coords.  Returns (B, M, C).  Out-of-range coords reproduce zero
+    padding via the separable edge-attenuation identity (see
+    ``_sample_patch_gather``).
+    """
+    b, h, w, c4 = plane4.shape
+    c = c4 // 4
+    edge = (jnp.maximum(1.0 - jnp.abs(px - jnp.clip(px, 0, w - 1)), 0.0)
+            * jnp.maximum(1.0 - jnp.abs(py - jnp.clip(py, 0, h - 1)), 0.0)
+            ).astype(plane4.dtype)[..., None]
+    pxc = jnp.clip(px, 0, w - 1)
+    pyc = jnp.clip(py, 0, h - 1)
+    x0 = jnp.clip(jnp.floor(pxc), 0, max(w - 2, 0))
+    y0 = jnp.clip(jnp.floor(pyc), 0, max(h - 2, 0))
+    wx = (pxc - x0).astype(plane4.dtype)[..., None]
+    wy = (pyc - y0).astype(plane4.dtype)[..., None]
+    flat = (y0.astype(jnp.int32) * w + x0.astype(jnp.int32))
+    rows = jnp.take_along_axis(plane4.reshape(b, h * w, c4),
+                               flat[..., None], axis=1)  # (B, M, 4C)
+    r00, r01, r10, r11 = (rows[..., :c], rows[..., c:2 * c],
+                          rows[..., 2 * c:3 * c], rows[..., 3 * c:])
+    top = r00 * (1 - wx) + r01 * wx
+    bot = r10 * (1 - wx) + r11 * wx
+    return (top * (1 - wy) + bot * wy) * edge
+
+
 def _hat_max_rows_default() -> int:
     """Per-level routing policy: levels with h*w <= this sample via the
     dense hat-basis matmul (ops/hat_sample.py) instead of the 4-corner row
@@ -104,7 +155,7 @@ def sample_packed_sum(
         hat_max_rows = _hat_max_rows_default()
     total, packed = hat_sample_sum(packed, uv, obj_index=obj_index,
                                    max_rows=hat_max_rows)
-    patch = _gather_mode_default() == "patch"
+    mode = _gather_mode_default()
     for plane in packed:
         _, h, w, sd = plane.shape
         if obj_index is not None:
@@ -113,7 +164,12 @@ def sample_packed_sum(
             plane = jnp.take(plane, obj_index.astype(jnp.int32), axis=0)
         px = (x + 1.0) * 0.5 * (w - 1)
         py = (y + 1.0) * 0.5 * (h - 1)
-        if patch and h >= 2 and w >= 2:
+        if mode == "quad":
+            # plane is quad-packed (4C channels) by the encode path
+            s = _sample_quad(plane, px, py)
+            total = s if total is None else total + s
+            continue
+        if mode == "patch" and h >= 2 and w >= 2:
             # (2,2,C) slice_sizes require both plane dims >= 2; 1-wide
             # planes fall through to the rows path
             s = _sample_patch_gather(plane, px, py)
@@ -146,14 +202,27 @@ def sample_packed_sum(
 
 def _gather_mode_default() -> str:
     """'rows' = four take_along_axis row gathers (round-3 default);
-    'patch' = ONE lax.gather of a (2,2,C) corner patch per level.  The
-    patch mode is exact on the model path (project_points clamps uv to
-    [-1, 1], so the clamped-corner weight recompute reproduces the
-    zero-padded 4-corner sum bit-for-bit in-range) and moves the same
-    bytes with 4x fewer gather descriptors."""
+    'patch' = ONE lax.gather of a (2,2,C) corner patch per level (loses
+    2.2x to rows on v5e — kept as a parity-tested study mode);
+    'quad' = ONE take_along_axis row gather of a quad-packed plane (see
+    :func:`quad_pack`; encode must pack with the same mode).  All three
+    are exact (zero-padding semantics)."""
     import os
 
     return os.environ.get("SLICE3D_GATHER", "rows")
+
+
+def maybe_quad_pack(packed, hat_max_rows: Optional[int] = None):
+    """Apply :func:`quad_pack` to the gather-routed levels when the
+    gather mode is 'quad' (encode-time counterpart of the sampling
+    dispatch in :func:`sample_packed_sum` — both derive the same routing
+    from plane shape + SLICE3D_GATHER/SLICE3D_HAT_MAX_ROWS)."""
+    if _gather_mode_default() != "quad":
+        return packed
+    if hat_max_rows is None:
+        hat_max_rows = _hat_max_rows_default()
+    return [quad_pack(p) if p.shape[1] * p.shape[2] > hat_max_rows else p
+            for p in packed]
 
 
 def _sample_patch_gather(plane: jnp.ndarray, px: jnp.ndarray,

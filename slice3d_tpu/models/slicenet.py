@@ -16,6 +16,7 @@ from flax import linen as nn
 
 from .sdf_head import (
     SDFTransformerHead,
+    maybe_quad_pack,
     pack_planes,
     prepare_queries,
     sample_packed_sum,
@@ -69,7 +70,8 @@ class SliceNetModel(nn.Module):
         Returns (packed, slices_rec)."""
         pyramids, slices_rec = self.encode(img_input)
         folded = self.head.fold_pyramids(pyramids)
-        return pack_planes(folded, self.n_slices), slices_rec
+        packed = maybe_quad_pack(pack_planes(folded, self.n_slices))
+        return packed, slices_rec
 
     def query_folded(self, packed, qry, trans_mat_tp, obj_index=None) -> jnp.ndarray:
         """Fast query over folded packed planes — exact, far less gather

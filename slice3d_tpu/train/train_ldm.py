@@ -136,7 +136,7 @@ class LDMTrainer:
             return out
 
         variables = nn_init_helper(self.module, rng, init_all)
-        params = variables["params"]
+        params = self._cast_frozen(variables["params"])
         stats = variables.get("batch_stats", {})
         logvar = jnp.zeros((self.schedule.num_timesteps,), jnp.float32)
         return LDMTrainState(
@@ -151,6 +151,30 @@ class LDMTrainer:
             scale_factor=jnp.float32(1.0),
             logvar=jnp.zeros((self.schedule.num_timesteps,), jnp.float32),
         )
+
+    def _cast_frozen(self, params):
+        """Store the frozen first-stage (VAE) params in the module's compute
+        dtype when that is bf16.
+
+        Numerically a no-op: flax promotes params to the module dtype at
+        every use anyway, so casting once at init/restore produces the
+        same bits while halving the frozen subtree's per-step HBM reads
+        (the round-4 ledger flagged the fp32-weight conv work,
+        BASELINE.md).  The trainable subtrees keep fp32 master weights
+        for AdamW.  Disable with SLICE3D_FROZEN_FP32=1 (ablation).
+        """
+        import os
+
+        if self.module.dtype != jnp.bfloat16 or os.environ.get(
+                "SLICE3D_FROZEN_FP32"):
+            return params
+        out = dict(params)
+        if "first_stage" in out:
+            out["first_stage"] = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                out["first_stage"])
+        return out
 
     # -- steps ----------------------------------------------------------------
 
@@ -509,7 +533,7 @@ class LDMTrainer:
         }
         payload = restore_checkpoint(path, target)
         return state.replace(
-            params=payload["variables"]["params"],
+            params=self._cast_frozen(payload["variables"]["params"]),
             batch_stats=payload["variables"]["batch_stats"],
             opt_state=payload["opt_state"],
             ema_params=payload["ema_params"],

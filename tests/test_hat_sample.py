@@ -100,3 +100,47 @@ def test_patch_gather_matches_rows():
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(got1), np.asarray(ref1),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_quad_gather_matches_rows():
+    """quad_pack + one-row-gather sampling equals the 4x row-gather path,
+    including out-of-range coords (zero padding) and obj_index selection
+    (SLICE3D_GATHER=quad)."""
+    import os
+
+    from slice3d_tpu.models import sdf_head as sh
+
+    rng = np.random.default_rng(5)
+    packed = [jnp.asarray(rng.normal(size=(2, hw, hw, 24)).astype(np.float32))
+              for hw in (64, 16)]
+    uv = rng.uniform(-1.6, 1.6, (2, 97, 2)).astype(np.float32)
+    uv[0, :4] = [[-1, -1], [1, 1], [1, -1], [0.999999, 0.5]]
+    uv = jnp.asarray(uv)
+    old = os.environ.get("SLICE3D_GATHER")
+    try:
+        os.environ["SLICE3D_GATHER"] = "rows"
+        ref = sh.sample_packed_sum(packed, uv, 12, hat_max_rows=0)
+        os.environ["SLICE3D_GATHER"] = "quad"
+        quads = sh.maybe_quad_pack(packed, hat_max_rows=0)
+        assert all(q.shape[-1] == 4 * p.shape[-1]
+                   for q, p in zip(quads, packed))
+        got = sh.sample_packed_sum(quads, uv, 12, hat_max_rows=0)
+        oi = jnp.asarray([1])
+        got1 = sh.sample_packed_sum(quads, uv[:1], 12, obj_index=oi,
+                                    hat_max_rows=0)
+        os.environ["SLICE3D_GATHER"] = "rows"
+        ref1 = sh.sample_packed_sum(packed, uv[:1], 12, obj_index=oi,
+                                    hat_max_rows=0)
+        # hat routing unaffected: levels under max_rows stay un-quadded
+        os.environ["SLICE3D_GATHER"] = "quad"
+        mixed = sh.maybe_quad_pack(packed, hat_max_rows=16 * 16)
+        assert mixed[1] is packed[1] and mixed[0].shape[-1] == 96
+    finally:
+        if old is None:
+            os.environ.pop("SLICE3D_GATHER", None)
+        else:
+            os.environ["SLICE3D_GATHER"] = old
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(ref1),
+                               atol=1e-5, rtol=1e-5)

@@ -39,17 +39,19 @@ def main():
                      .astype(np.float32))
 
     def run(mode):
+        import os
+
+        os.environ["SLICE3D_GATHER"] = mode
+        planes = (sh.maybe_quad_pack(packed, hat_max_rows=0)
+                  if mode == "quad" else packed)
+
         def fn(uvx, k):
             tot = jnp.float32(0)
             for i in range(k):
                 out = sh.sample_packed_sum(
-                    packed, uvx * (1.0 - 1e-6 * i), s, hat_max_rows=0)
+                    planes, uvx * (1.0 - 1e-6 * i), s, hat_max_rows=0)
                 tot = tot + jnp.sum(out.astype(jnp.float32))
             return tot
-
-        import os
-
-        os.environ["SLICE3D_GATHER"] = mode
         k1, k2 = 2, 8
         p50 = {}
         for k in (k1, k2):
@@ -68,9 +70,14 @@ def main():
               f"(bytes-SOL {byte_sol * 1e3:.2f} ms)", flush=True)
         return per
 
-    t_rows = run("rows")
-    t_patch = run("patch")
-    print(f"patch speedup: {t_rows / t_patch:.2f}x", flush=True)
+    modes = (sys.argv[3].split(",") if len(sys.argv) > 3
+             else ["rows", "patch", "quad"])
+    ts = {mode: run(mode) for mode in modes}
+    base = ts.get("rows")
+    if base:
+        for mode, t in ts.items():
+            if mode != "rows":
+                print(f"{mode} speedup vs rows: {base / t:.2f}x", flush=True)
 
 
 if __name__ == "__main__":
