@@ -610,7 +610,7 @@ def main():
     from slice3d_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    only = ENV("BENCH_CONFIGS", "1,2,3,4,5,6,7")
+    only = ENV("BENCH_CONFIGS", "1,2,3,4,5,6,7,8")
     fns = {"1": config1, "2": config2, "3": config3, "4": config4,
            "5": config5, "6": config6, "7": config7, "8": config8}
     for key in only.split(","):

@@ -343,13 +343,35 @@ def _layer_kernel_bdq(n_heads: int, head_tokens: int, t_real: int,
     mm2 = lambda a, b: jax.lax.dot_general(
         a, b, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    h1f = h1.reshape(blk * t_o, d)
+    t_ff = t_o
+    h1_ff = h1
+    if _ffn_trim_enabled() and head_tokens == 0 and t_real < t_o:
+        # padded tokens (13 -> 16 sublane pad) are DEAD downstream — every
+        # layer's attention masks pad keys — so the FFN need not compute
+        # them (~19% of layer-1/2 FFN FLOPs); their output rows are zero-
+        # filled and the final LN runs over all rows (VPU, free)
+        t_ff = t_real
+        h1_ff = h1[:, :t_real]
+    h1f = h1_ff.reshape(blk * t_ff, d)
     ff = jnp.maximum(mm2(h1f, w1_ref[:]) + b1_ref[:].reshape(1, f),
                      0.0).astype(x.dtype)
-    ff = (mm2(ff, w2_ref[:]) + b2_ref[:].reshape(1, d)).reshape(blk, t_o, d)
+    ff = (mm2(ff, w2_ref[:]) + b2_ref[:].reshape(1, d)).reshape(blk, t_ff, d)
+    if t_ff != t_o:
+        ff = jnp.concatenate(
+            [ff, jnp.zeros((blk, t_o - t_ff, d), ff.dtype)], axis=1)
 
     out = layer_norm(h1.astype(jnp.float32) + ff, g2_ref, beta2_ref)
     o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _ffn_trim_enabled() -> bool:
+    """bdq-kernel FFN token trim (SLICE3D_FFN_TRIM=1, experimental):
+    compute the layer-1/2 FFN on the 13 real tokens instead of the
+    16-sublane-padded block.  Exact — pad-token values are dead (masked
+    keys in every layer); they are zero-filled on output."""
+    import os
+
+    return os.environ.get("SLICE3D_FFN_TRIM", "") == "1"
 
 
 def encoder_kernel_default() -> str:

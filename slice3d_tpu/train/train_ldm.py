@@ -13,6 +13,7 @@ Everything per-step runs as one jit program over the (data, model) mesh.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -115,6 +116,9 @@ class LDMTrainer:
         self._train_step = jax.jit(self._step_impl, donate_argnums=(0,))
         self._compute_scale = jax.jit(self._scale_impl)
         self._eval_step = jax.jit(self._eval_impl)
+        # jitted end-to-end sampling programs, keyed on (sampler, steps,
+        # eta, guidance, shapes) — see sample_slices
+        self._sample_fns: Dict[Any, Any] = {}
 
     # -- init ---------------------------------------------------------------
 
@@ -323,6 +327,12 @@ class LDMTrainer:
         ddim.py:168-175) against ``uncond`` conditioning (defaults to
         zeroed conditioning).  Both branches run as ONE 2B-batched model
         call per step so the MXU sees a single large dispatch.
+
+        The whole path (VAE encode -> cond -> reverse scan -> decode)
+        compiles to ONE jitted program, cached per (sampler, steps, eta,
+        guidance, shape) — repeat sampling pays zero host tracing (an
+        un-jitted lax.scan re-traces its body every call, which on this
+        1-core host cost seconds per batch at ddim=200).
         """
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         params = state.params
@@ -332,18 +342,35 @@ class LDMTrainer:
 
         images = jnp.asarray(batch["image"])
         ipt = jnp.asarray(batch["img_ipt_view"])
+        b = images.shape[0]
+        key = (sampler, int(ddim_steps), float(eta), float(guidance_scale),
+               uncond is None, b, images.shape[2], ipt.shape[1])
+        jfn = self._sample_fns.get(key)
+        if jfn is None:
+            jfn = jax.jit(functools.partial(
+                self._sample_impl, sampler=sampler, ddim_steps=int(ddim_steps),
+                eta=float(eta), guidance_scale=float(guidance_scale),
+                with_uncond=uncond is not None))
+            self._sample_fns[key] = jfn
+        imgs = jfn(variables, state.scale_factor, images, ipt, rng,
+                   uncond if uncond is not None else 0)
+        return np.asarray(imgs[:, :12])
+
+    def _sample_impl(self, variables, scale_factor, images, ipt, rng, uncond,
+                     *, sampler, ddim_steps, eta, guidance_scale, with_uncond):
         rng, rng_enc = jax.random.split(rng)
         z13 = self.module.apply(
             variables, images, rng_enc, True, method=LatentDiffusion.encode_images
         )
         cond = self.module.apply(
-            variables, z13, ipt, state.scale_factor,
+            variables, z13, ipt, scale_factor,
             method=LatentDiffusion.build_cond,
         )
         b = images.shape[0]
         h = (self.img_size // self.module.downscale) * 4
 
-        eps_fn = self._make_eps_fn(variables, cond, guidance_scale, uncond)
+        eps_fn = self._make_eps_fn(variables, cond, guidance_scale,
+                                   uncond if with_uncond else None)
 
         if sampler == "dpm":
             ddim = DDIMParams.create(self.schedule, ddim_steps, eta)
@@ -361,11 +388,10 @@ class LDMTrainer:
                                    clip_denoised=False)
         else:
             raise ValueError(f"unknown sampler {sampler!r}")
-        imgs = self.module.apply(
-            variables, atlas, state.scale_factor,
+        return self.module.apply(
+            variables, atlas, scale_factor,
             method=LatentDiffusion.decode_atlas_images,
         )
-        return np.asarray(imgs[:, :12])
 
     def _make_eps_fn(self, variables, cond, guidance_scale: float = 1.0,
                      uncond=None):

@@ -135,3 +135,32 @@ def test_fused_ffn_matches_jnp():
     out = fused_ffn(x, w1, b1, w2, b2)  # CPU -> jnp fallback
     expect = np.maximum(np.asarray(x) @ np.asarray(w1) + np.asarray(b1), 0) @ np.asarray(w2) + np.asarray(b2)
     np.testing.assert_allclose(np.asarray(out), expect, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("head_tokens", [0, 1])
+def test_bdq_ffn_trim_matches_reference(monkeypatch, head_tokens):
+    """SLICE3D_FFN_TRIM=1: layer-1/2 FFN on real tokens only — the READ
+    tokens (all callers consume token 0 / the first t_real rows) are
+    bit-identical to the untrimmed kernel; pad-token rows are dead."""
+    monkeypatch.setenv("SLICE3D_PALLAS_INTERPRET", "1")
+
+    from slice3d_tpu.models.layers import TransformerEncoder
+    from slice3d_tpu.ops.pallas_encoder import fused_encoder_layer
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(1, 300, 13, 128)).astype(np.float32))
+
+    ref_mod = TransformerEncoder(num_layers=1, final_head_tokens=head_tokens,
+                                 fused_ffn=False)
+    variables = ref_mod.init(jax.random.PRNGKey(7), x)
+    ref = np.asarray(ref_mod.apply(variables, x))
+
+    params = variables["params"]["layer0"]
+    monkeypatch.setenv("SLICE3D_FFN_TRIM", "1")
+    fast = np.asarray(fused_encoder_layer(x, params, n_heads=4,
+                                          head_tokens=head_tokens,
+                                          kernel_variant="bdq"))
+    t_real = 13
+    np.testing.assert_allclose(fast[:, :, :min(t_real, fast.shape[2])],
+                               ref[:, :, :min(t_real, ref.shape[2])],
+                               atol=5e-5, rtol=1e-4)
