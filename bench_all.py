@@ -318,10 +318,13 @@ def config5():
     slices = sample()  # compile + slices for stage 2
     t_gen = _median(sample, max(int(ENV("BENCH_REPEATS", "5")) - 2, 1))
 
+    # batch 1 at up=2: same rationale as config 3 (round-3 layout study —
+    # the full-quality point is host-bound on this 1-core host and batch 1
+    # maximizes host/device overlap; measured 140 vs ~60 obj/min at B=8)
     recon = _gtslice_recon(int(ENV("BENCH5_RES0", "64")),
                            int(ENV("BENCH5_UP_STEPS", "2")),
                            int(ENV("BENCH_CHUNK", "8192")),
-                           batch=int(ENV("BENCH5_BATCH", "8")))
+                           batch=int(ENV("BENCH5_BATCH", "1")))
     from slice3d_tpu import camera
 
     _, proj = camera.camera_matrices(0.0, 0.0, 1.2)
@@ -399,7 +402,12 @@ def config6():
     n_qry = int(ENV("BENCH6_QRY", "256"))
     n_steps = int(ENV("BENCH6_STEPS", "10"))
     img = int(ENV("BENCH6_IMG", "128"))
-    opts = Options(name_model="slicenet", img_size=img, n_qry=n_qry, n_bs=bs)
+    # bf16 mixed precision is the TPU-first training point (fp32 master
+    # weights + fp32 loss; see Options.train_dtype).  BENCH6_DTYPE=float32
+    # measures the reference's exact torch numerics.
+    tdtype = ENV("BENCH6_DTYPE", "bfloat16")
+    opts = Options(name_model="slicenet", img_size=img, n_qry=n_qry, n_bs=bs,
+                   train_dtype=tdtype)
     vgg19 = VGG19Features().init(
         jax.random.PRNGKey(0), np.zeros((1, 32, 32, 3), np.float32))
     trainer = RegressionTrainer(opts, vgg19_params=vgg19)
@@ -461,7 +469,7 @@ def config6():
 
     flops = _train_step_flops(6)
     return {"config": 6, "metric": "regression_train_steps_per_s",
-            "operating_point": f"bs={bs},qry={n_qry},img={img},3-term loss",
+            "operating_point": f"bs={bs},qry={n_qry},img={img},{tdtype},3-term loss",
             "value": round(sps, 3), "unit": "steps/s",
             "vs_baseline": None,
             "samples_per_s": round(sps * bs, 2),
