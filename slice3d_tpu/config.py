@@ -74,7 +74,11 @@ class Options:
     from_which_slices: str = "gt"  # gt | gt_rec | gen
     overwrite_res: bool = False
     # TPU-specific
-    dtype: str = "bfloat16"  # compute dtype on device: bfloat16 | float32
+    dtype: str = "bfloat16"  # inference compute dtype: bfloat16 | float32
+    # training compute dtype (mixed precision: params/optimizer moments and
+    # the loss stay float32; only layer compute runs bf16).  float32 default
+    # reproduces the reference's torch numerics exactly.
+    train_dtype: str = "float32"
     # ship raw uint8 RGBA and composite/resize/normalize on device
     # (3x less host->device traffic; data/device_transforms.py)
     device_preprocess: bool = False

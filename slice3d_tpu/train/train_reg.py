@@ -64,8 +64,15 @@ class RegressionTrainer:
         self.opts = opts
         self.is_slicenet = opts.name_model == "slicenet"
         model_cls = SliceNetModel if self.is_slicenet else GTSliceModel
-        self.model = model_cls(n_slices=opts.n_slices, train_bn=True)
-        self.eval_model = model_cls(n_slices=opts.n_slices, train_bn=False)
+        # Mixed precision: bf16 layer compute, fp32 params/moments/loss.
+        cdtype = (jnp.bfloat16
+                  if getattr(opts, "train_dtype", "float32") == "bfloat16"
+                  else None)
+        self.model = model_cls(n_slices=opts.n_slices, train_bn=True,
+                               dtype=cdtype)
+        self.eval_model = model_cls(n_slices=opts.n_slices, train_bn=False,
+                                    dtype=cdtype)
+        self._compute_dtype = cdtype
         self.vgg19_params = vgg19_params
         self.schedule = make_lr_schedule(
             opts.lr, steps_per_epoch, opts.freq_decay, opts.lr_decay_factor
@@ -129,6 +136,10 @@ class RegressionTrainer:
             sdf_pred, slices_rec = out
         else:
             sdf_pred, slices_rec = out, None
+        # loss math is always fp32 regardless of the compute dtype
+        sdf_pred = sdf_pred.astype(jnp.float32)
+        if slices_rec is not None:
+            slices_rec = slices_rec.astype(jnp.float32)
         target = batch["sdf"] if self.opts.pred_type == "sdf" else batch["occ"]
         if self.opts.pred_type == "occ":
             loss_pred = jnp.mean(
@@ -145,7 +156,9 @@ class RegressionTrainer:
             loss = loss + loss_img
             logs["loss_img"] = loss_img
             if self.vgg19_params is not None:
-                loss_vgg = 0.001 * perceptual_loss(self.vgg19_params, slices_rec, gt)
+                loss_vgg = 0.001 * perceptual_loss(
+                    self.vgg19_params, slices_rec, gt,
+                    dtype=self._compute_dtype)
                 loss = loss + loss_vgg
                 logs["loss_vgg"] = loss_vgg
         if self.opts.pred_type == "occ":
@@ -244,10 +257,27 @@ class RegressionTrainer:
         return state, int(payload["n_epoch"]) + 1
 
 
+def _backup_code(exp_dir: str) -> None:
+    """Snapshot the framework source into <exp_dir>/code/ for reproducibility
+    (reference reg_slices/train.py:95-103 copies its .py files the same way).
+    """
+    import shutil
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dst = os.path.join(exp_dir, "code", "slice3d_tpu")
+    try:
+        shutil.copytree(
+            pkg_root, dst, dirs_exist_ok=True,
+            ignore=shutil.ignore_patterns("__pycache__", "*.so", "*.o"))
+    except OSError:  # pragma: no cover - backup is best-effort
+        pass
+
+
 def train(opts: Options, *, max_steps: Optional[int] = None) -> None:
     """Full training entry point (reference train.py:105-183)."""
     os.makedirs(opts.exp_dir, exist_ok=True)
     dump_options(opts, os.path.join(opts.exp_dir, "opts.txt"))
+    _backup_code(opts.exp_dir)
     dir_ckpt = os.path.join(opts.exp_dir, "ckpt")
     os.makedirs(dir_ckpt, exist_ok=True)
 

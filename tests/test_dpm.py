@@ -80,7 +80,7 @@ def test_dpm_converges_to_the_ddim_ode():
     assert e_dpm30 < e_dpm10, (e_dpm30, e_dpm10)
 
 
-@pytest.mark.slow
+@pytest.mark.nightly
 def test_sample_slices_dpm(trainer_mod=None):
     """sampler='dpm' runs through the full LDM sampling path."""
     from tests.test_ldm import batch as _  # noqa: F401 (fixture source)

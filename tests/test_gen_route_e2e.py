@@ -19,7 +19,7 @@ import yaml
 from slice3d_tpu.data.builders import create_synthetic_dataset
 
 
-@pytest.mark.slow
+@pytest.mark.nightly
 def test_generation_route_end_to_end(tmp_path):
     import main as launcher
     import re_org_slices
@@ -86,7 +86,7 @@ def test_generation_route_end_to_end(tmp_path):
     assert [os.path.basename(p) for p in objs] == ["00000.obj", "00001.obj"]
 
 
-@pytest.mark.slow
+@pytest.mark.nightly
 def test_ldm_train_cli(tmp_path):
     """main.py -t on an LDM config: the reference's primary training CLI
     (gen_slices/main.py trainer.fit route) — train steps, full-split

@@ -55,7 +55,7 @@ def test_gtslice_train_step_decreases_nothing_weird():
     assert moved > 0
 
 
-@pytest.mark.slow
+@pytest.mark.nightly
 def test_gtslice_checkpoint_roundtrip(tmp_path):
     opts = Options(name_model="gtslice", img_size=32, n_qry=16, n_bs=2)
     trainer = RegressionTrainer(opts, steps_per_epoch=10)
@@ -90,3 +90,24 @@ def test_train_e2e_device_preprocess(tmp_path):
     )
     train(opts, max_steps=2)
     assert (tmp_path / "exp" / "devpre" / "opts.txt").exists()
+    # reproducibility code snapshot (reference reg_slices/train.py:95-103)
+    assert (tmp_path / "exp" / "devpre" / "code" / "slice3d_tpu"
+            / "train" / "train_reg.py").exists()
+
+
+def test_bf16_mixed_precision_step():
+    """train_dtype=bfloat16 runs layer compute in bf16 but keeps fp32
+    master params and an fp32 loss.  Trace-only (jax.eval_shape) so the
+    wiring is covered without a second full train-step compile; real bf16
+    execution is exercised by bench_all config 6."""
+    opts = Options(name_model="gtslice", img_size=32, n_qry=16, n_bs=2,
+                   train_dtype="bfloat16")
+    trainer = RegressionTrainer(opts, steps_per_epoch=10)
+    assert trainer.model.dtype == jax.numpy.bfloat16
+    state = trainer.init_state()
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert leaf.dtype == np.float32  # fp32 master weights
+    batch = tiny_batch(np.random.default_rng(2), with_input=False)
+    new_state, logs = jax.eval_shape(trainer._step_impl, state, batch)
+    assert logs["loss"].dtype == np.float32
+    assert jax.tree_util.tree_leaves(new_state.params)[0].dtype == np.float32

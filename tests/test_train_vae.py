@@ -64,7 +64,7 @@ def test_vae_finetune_step():
     assert np.abs(d1 - d0).max() > 0  # discriminator updated
 
 
-@pytest.mark.slow
+@pytest.mark.nightly
 def test_vae_finetune_step_with_lpips():
     """LPIPS perceptual path: reference sum/B NLL scaling + LPIPS term."""
     from slice3d_tpu.models.lpips import LPIPS
