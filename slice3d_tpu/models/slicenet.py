@@ -82,6 +82,13 @@ class SliceNetModel(nn.Module):
                                     obj_index=obj_index)
         return self.head.from_folded(qry, sampled)
 
+    def query_presampled(self, qry, sampled) -> jnp.ndarray:
+        """Head-only query on externally sampled folded features — the
+        lattice-slab fast path (ops/lattice_sample.py) samples whole
+        tensor-grid slabs with separable matmuls and feeds them here.
+        qry: (B, M, 3) camera-aligned; sampled: (B, M, S, d)."""
+        return self.head.from_folded(qry, sampled)
+
     def __call__(
         self,
         img_input: jnp.ndarray,

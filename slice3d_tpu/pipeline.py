@@ -293,6 +293,76 @@ class Reconstructor:
             _, vals = jax.lax.scan(body, 0, idx0)  # (k0, B, c)
             return encoded, jnp.transpose(vals, (1, 0, 2)).reshape(b, -1)
 
+        # -- dense coarse level over tensor-grid slabs (separable sampling)
+        # The rotation-free reference projection makes every fixed-z slab
+        # of the query lattice a tensor grid in uv (ops/lattice_sample.py),
+        # so the coarse level samples with two small matmuls per pyramid
+        # level per slab instead of 4 C-wide row gathers per point.  Used
+        # when the feed's trans matrices pass projection_is_separable
+        # (host-checked per batch); the gather path remains the fallback
+        # and serves the sparse refinement levels.
+        if use_seq:
+            from .ops import project_points
+            from .ops.lattice_sample import lattice_sample_sum
+
+            nn0 = n0 + 1
+            axis_vals = ((jnp.arange(nn0, dtype=jnp.float32) / n0 - 0.5)
+                         * box_size)
+            flip = jnp.array([1.0, -1.0, -1.0], jnp.float32)
+            n_sl = int(model.n_slices)
+
+            def slab_vals(variables, packed, oid, zi, trans_tp):
+                z = axis_vals[zi]
+                zeros = jnp.zeros((nn0,), jnp.float32)
+                zcol = jnp.full((nn0,), 1.0, jnp.float32) * z
+                # probe rows: u depends only on (x, z), v only on (y, z)
+                px_pts = jnp.stack([axis_vals, zeros, zcol], axis=-1)
+                py_pts = jnp.stack([zeros, axis_vals, zcol], axis=-1)
+                t = jax.lax.dynamic_index_in_dim(trans_tp, oid, 0,
+                                                 keepdims=True)  # (1,4,3)
+                u = project_points((px_pts * flip)[None], t)[..., 0]
+                v = project_points((py_pts * flip)[None], t)[..., 1]
+                sampled = lattice_sample_sum(
+                    packed, u, v, n_sl, obj_index=jnp.reshape(oid, (1,)))
+                s_flat = sampled.reshape(1, nn0 * nn0, n_sl, -1)
+                # slab points in the same (y-major, x-minor) order
+                xg = jnp.tile(axis_vals[None, :], (nn0, 1))
+                yg = jnp.tile(axis_vals[:, None], (1, nn0))
+                zg = jnp.full((nn0, nn0), 1.0, jnp.float32) * z
+                qry = (jnp.stack([xg, yg, zg], axis=-1)
+                       .reshape(1, -1, 3) * flip)
+                sdf = model.apply(variables, qry, s_flat,
+                                  method=model.query_presampled)
+                return (-sdf)[0].astype(wire_dtype)  # (nn0^2,)
+
+            @jax.jit
+            def encode_dense_lattice(variables, imgs, *extras):
+                encoded = encode_fn.__wrapped__(variables, imgs)
+                enc_q = encoded[0] if is_slicenet else encoded
+                b = imgs.shape[0]
+                trans_tp = extras[0]
+                oids = jnp.repeat(jnp.arange(b, dtype=jnp.int32), nn0)
+                zis = jnp.tile(jnp.arange(nn0, dtype=jnp.int32), (b,))
+
+                def body(carry, xs):
+                    oid, zi = xs
+                    return carry, slab_vals(variables, enc_q, oid, zi,
+                                            trans_tp)
+
+                _, vals = jax.lax.scan(body, 0, (oids, zis))
+                # (b*nn0 slabs, nn0^2) in (z)(y, x) order -> flat
+                # idx = x*nn0^2 + y*nn0 + z (lattice_pts convention)
+                vals = vals.reshape(b, nn0, nn0, nn0)  # (b, z, y, x)
+                vals = jnp.transpose(vals, (0, 3, 2, 1)).reshape(b, -1)
+                pad = k0 * c - nn0 ** 3
+                if pad:
+                    vals = jnp.pad(vals, ((0, 0), (0, pad)))
+                return encoded, vals
+
+            self._encode_dense_lattice = encode_dense_lattice
+        else:
+            self._encode_dense_lattice = None
+
         self._encode = encode_fn
         self._encode_dense = encode_dense
         self._query_many = query_many
@@ -514,8 +584,20 @@ class Reconstructor:
             encoded, dense_vals, levels = self._fused_fn(caps_k)(
                 self.variables, imgs, *extras)
         else:
-            encoded, dense_vals = self._encode_dense(
-                self.variables, imgs, *extras)
+            dense_fn = self._encode_dense
+            if self._encode_dense_lattice is not None:
+                import os
+
+                from .ops.lattice_sample import projection_is_separable
+
+                # (quad mode stores 4C-packed big levels the separable
+                # sampler does not address — study mode, gather only)
+                if (os.environ.get("SLICE3D_LATTICE_DENSE", "1") != "0"
+                        and os.environ.get("SLICE3D_GATHER", "rows") != "quad"
+                        and all(projection_is_separable(
+                            f["trans_mat_wo_rot_tp"]) for f in feeds)):
+                    dense_fn = self._encode_dense_lattice
+            encoded, dense_vals = dense_fn(self.variables, imgs, *extras)
             levels = None
         enc_q = encoded if self._is_disn else (
             encoded[0] if self._is_slicenet else encoded)

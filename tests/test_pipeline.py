@@ -275,3 +275,17 @@ def test_warm_precompiles_buckets_and_serving_still_exact(recon):
         if len(mesh.vertices):
             np.testing.assert_allclose(mesh.vertices, ref_mesh.vertices,
                                        atol=1e-5)
+
+
+def test_lattice_dense_matches_gather(recon, monkeypatch):
+    """The separable tensor-grid coarse level (ops/lattice_sample.py)
+    reproduces the gather path's dense grid (same mesh out)."""
+    feed = make_feed(4)
+    monkeypatch.setenv("SLICE3D_LATTICE_DENSE", "0")
+    ref_mesh, _ = recon.reconstruct(feed)
+    monkeypatch.setenv("SLICE3D_LATTICE_DENSE", "1")
+    mesh, _ = recon.reconstruct(feed)
+    assert len(mesh.vertices) == len(ref_mesh.vertices)
+    if len(mesh.vertices):
+        np.testing.assert_allclose(mesh.vertices, ref_mesh.vertices,
+                                   atol=1e-4)
