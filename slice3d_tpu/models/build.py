@@ -31,18 +31,24 @@ def build_model(opts: Options, *, train: bool = False):
 
 
 def init_variables(model, opts: Options, seed: int = 0):
+    # model.init runs as ONE jitted program: executed eagerly it is
+    # hundreds of op-by-op dispatches, which over the tunneled chip's
+    # ~100 ms RTT costs minutes of pure round trips (measured 194 s for
+    # slicenet@128 before this; one compiled — and persistently cached —
+    # program runs in seconds).
     rng = jax.random.PRNGKey(seed)
     s = opts.img_size
     qry = jnp.zeros((1, 8, 3), jnp.float32)
     trans = jnp.asarray(np.eye(4, 3, dtype=np.float32))[None]
+    init = jax.jit(model.init)
     if isinstance(model, SliceNetModel):
         img = jnp.zeros((1, s, s, 3), jnp.float32)
-        return model.init(rng, img, qry, trans, jnp.eye(3)[None])
+        return init(rng, img, qry, trans, jnp.eye(3)[None])
     if isinstance(model, GTSliceModel):
         slices = jnp.zeros((1, opts.n_slices, s, s, 3), jnp.float32)
-        return model.init(rng, slices, qry, trans, jnp.eye(3)[None])
+        return init(rng, slices, qry, trans, jnp.eye(3)[None])
     img = jnp.zeros((1, s, s, 3), jnp.float32)
-    return model.init(rng, img, qry, trans, jnp.eye(3)[None])
+    return init(rng, img, qry, trans, jnp.eye(3)[None])
 
 
 def load_model_variables(model, opts: Options, ckpt_path: Optional[str]):

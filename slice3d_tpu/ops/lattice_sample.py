@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -81,20 +82,32 @@ def lattice_sample_sum(
     the same values ``sample_packed_sum`` produces for the M = Ny*Nx
     points of the slab, up to float reassociation.
 
-    ``obj_index`` (b,) selects plane sets like sample_packed_sum's.
+    ``obj_index`` selects plane sets like sample_packed_sum's: shape (b,)
+    maps node row i to plane set obj_index[i]; a SCALAR obj_index instead
+    shares ONE plane set across every node row — the slab-group mode
+    (rows = consecutive z-slabs of the same object), which contracts all
+    G slabs' hat rows against the plane in a single (G*Ny, h) matmul
+    without materializing G plane copies.
     """
     b = u_nodes.shape[0]
+    shared = obj_index is not None and jnp.ndim(obj_index) == 0
     total = None
     for plane in packed:
         _, h, w, sd = plane.shape
-        if obj_index is not None:
+        if shared:
+            plane = jax.lax.dynamic_index_in_dim(
+                plane, obj_index.astype(jnp.int32), 0, keepdims=False)
+        elif obj_index is not None:
             plane = jnp.take(plane, obj_index.astype(jnp.int32), axis=0)
         px = (u_nodes.astype(jnp.float32) + 1.0) * 0.5 * (w - 1)
         py = (v_nodes.astype(jnp.float32) + 1.0) * 0.5 * (h - 1)
         a_u = hat_matrix_1d(px, w, plane.dtype)  # (b, Nx, w)
         a_v = hat_matrix_1d(py, h, plane.dtype)  # (b, Ny, h)
         # contract plane rows (h) then columns (w); both land on the MXU
-        tmp = jnp.einsum("byh,bhwc->bywc", a_v, plane)
+        if shared:
+            tmp = jnp.einsum("gyh,hwc->gywc", a_v, plane)
+        else:
+            tmp = jnp.einsum("byh,bhwc->bywc", a_v, plane)
         s = jnp.einsum("bxw,bywc->byxc", a_u, tmp)
         total = s if total is None else total + s
     ny, nx = v_nodes.shape[1], u_nodes.shape[1]

@@ -310,30 +310,50 @@ class Reconstructor:
                          * box_size)
             flip = jnp.array([1.0, -1.0, -1.0], jnp.float32)
             n_sl = int(model.n_slices)
+            # slabs per scan step: sized so each head dispatch sees ~32k
+            # points (the chunk the fused encoder kernel was tuned at) —
+            # 129 single-slab steps measured ~0.25 us/pt of step glue the
+            # grouped layout removes
+            import os as _os
 
-            def slab_vals(variables, packed, oid, zi, trans_tp):
-                z = axis_vals[zi]
-                zeros = jnp.zeros((nn0,), jnp.float32)
-                zcol = jnp.full((nn0,), 1.0, jnp.float32) * z
+            slab_pts = float(_os.environ.get("SLICE3D_SLAB_PTS", "32768"))
+            grp = min(nn0, max(1, int(round(slab_pts / (nn0 * nn0)))))
+            n_groups = -(-nn0 // grp)
+
+            def slab_vals(variables, packed, oid, z0, trans_tp):
+                # G consecutive z-slabs of one object per step (z indices
+                # past the lattice clamp and are sliced off by the caller)
+                zis = jnp.clip(z0 + jnp.arange(grp, dtype=jnp.int32),
+                               0, nn0 - 1)
+                zv = axis_vals[zis]  # (G,)
+                zeros = jnp.zeros((grp, nn0), jnp.float32)
+                ax = jnp.broadcast_to(axis_vals[None], (grp, nn0))
+                zcol = jnp.broadcast_to(zv[:, None], (grp, nn0))
                 # probe rows: u depends only on (x, z), v only on (y, z)
-                px_pts = jnp.stack([axis_vals, zeros, zcol], axis=-1)
-                py_pts = jnp.stack([zeros, axis_vals, zcol], axis=-1)
+                px_pts = jnp.stack([ax, zeros, zcol], axis=-1)  # (G,nn0,3)
+                py_pts = jnp.stack([zeros, ax, zcol], axis=-1)
                 t = jax.lax.dynamic_index_in_dim(trans_tp, oid, 0,
                                                  keepdims=True)  # (1,4,3)
-                u = project_points((px_pts * flip)[None], t)[..., 0]
-                v = project_points((py_pts * flip)[None], t)[..., 1]
-                sampled = lattice_sample_sum(
-                    packed, u, v, n_sl, obj_index=jnp.reshape(oid, (1,)))
-                s_flat = sampled.reshape(1, nn0 * nn0, n_sl, -1)
-                # slab points in the same (y-major, x-minor) order
-                xg = jnp.tile(axis_vals[None, :], (nn0, 1))
-                yg = jnp.tile(axis_vals[:, None], (1, nn0))
-                zg = jnp.full((nn0, nn0), 1.0, jnp.float32) * z
+                u = project_points(
+                    (px_pts * flip).reshape(1, -1, 3), t
+                )[..., 0].reshape(grp, nn0)
+                v = project_points(
+                    (py_pts * flip).reshape(1, -1, 3), t
+                )[..., 1].reshape(grp, nn0)
+                sampled = lattice_sample_sum(packed, u, v, n_sl,
+                                             obj_index=oid)  # shared-plane
+                s_flat = sampled.reshape(1, grp * nn0 * nn0, n_sl, -1)
+                # slab points in the same (slab, y-major, x-minor) order
+                xg = jnp.broadcast_to(axis_vals[None, None, :],
+                                      (grp, nn0, nn0))
+                yg = jnp.broadcast_to(axis_vals[None, :, None],
+                                      (grp, nn0, nn0))
+                zg = jnp.broadcast_to(zv[:, None, None], (grp, nn0, nn0))
                 qry = (jnp.stack([xg, yg, zg], axis=-1)
                        .reshape(1, -1, 3) * flip)
                 sdf = model.apply(variables, qry, s_flat,
                                   method=model.query_presampled)
-                return (-sdf)[0].astype(wire_dtype)  # (nn0^2,)
+                return (-sdf)[0].astype(wire_dtype)  # (G*nn0^2,)
 
             @jax.jit
             def encode_dense_lattice(variables, imgs, *extras):
@@ -341,18 +361,20 @@ class Reconstructor:
                 enc_q = encoded[0] if is_slicenet else encoded
                 b = imgs.shape[0]
                 trans_tp = extras[0]
-                oids = jnp.repeat(jnp.arange(b, dtype=jnp.int32), nn0)
-                zis = jnp.tile(jnp.arange(nn0, dtype=jnp.int32), (b,))
+                oids = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n_groups)
+                z0s = jnp.tile(
+                    jnp.arange(n_groups, dtype=jnp.int32) * grp, (b,))
 
                 def body(carry, xs):
-                    oid, zi = xs
-                    return carry, slab_vals(variables, enc_q, oid, zi,
+                    oid, z0 = xs
+                    return carry, slab_vals(variables, enc_q, oid, z0,
                                             trans_tp)
 
-                _, vals = jax.lax.scan(body, 0, (oids, zis))
-                # (b*nn0 slabs, nn0^2) in (z)(y, x) order -> flat
-                # idx = x*nn0^2 + y*nn0 + z (lattice_pts convention)
-                vals = vals.reshape(b, nn0, nn0, nn0)  # (b, z, y, x)
+                _, vals = jax.lax.scan(body, 0, (oids, z0s))
+                # (b*n_groups, G*nn0^2) in (z)(y, x) order; drop clamped
+                # duplicate slabs, then flatten to the lattice_pts
+                # convention idx = x*nn0^2 + y*nn0 + z
+                vals = vals.reshape(b, n_groups * grp, nn0, nn0)[:, :nn0]
                 vals = jnp.transpose(vals, (0, 3, 2, 1)).reshape(b, -1)
                 pad = k0 * c - nn0 ** 3
                 if pad:

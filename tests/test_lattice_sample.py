@@ -86,3 +86,22 @@ def test_perspective_slab_is_tensor_grid():
     # u constant down columns, v constant across rows
     assert np.abs(uv[..., 0] - uv[:1, :, 0]).max() <= 1e-6
     assert np.abs(uv[..., 1] - uv[:, :1, 1]).max() <= 1e-6
+
+
+def test_shared_plane_group_mode():
+    """Scalar obj_index = slab-group mode: G node rows share one plane
+    set; must equal per-row sampling of that object."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    s, d = 2, 3
+    packed = _packed_levels(rng, b=3, s=s, d=d, sizes=((4, 4), (6, 3)))
+    g, nx, ny = 3, 5, 4
+    u = rng.uniform(-1, 1, (g, nx)).astype(np.float32)
+    v = rng.uniform(-1, 1, (g, ny)).astype(np.float32)
+    got = lattice_sample_sum(packed, jnp.asarray(u), jnp.asarray(v), s,
+                             obj_index=jnp.asarray(1, jnp.int32))
+    want = lattice_sample_sum(packed, jnp.asarray(u), jnp.asarray(v), s,
+                              obj_index=jnp.asarray([1, 1, 1], jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
